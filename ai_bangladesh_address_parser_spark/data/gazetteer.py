@@ -1,0 +1,147 @@
+"""Gazetteer dimension tables — the engine's broadcast lookup state.
+
+The reference loads these as Python dicts/sets/tries at init
+(``src/geo/bangladesh_geo_offline.py:58-200``, hardcoded vocabularies in
+``src/regex/district_processor.py:288-514``). In Spark they are small
+broadcast DataFrames joined against the mention fact table: a broadcast
+hash join IS the trie ("Technique #26") at cluster scale.
+
+All contents are public Bangladesh administrative geography (8
+divisions, 64 districts) plus the spelling-variant vocabulary the
+reference's behavior is defined over. Postal codes and area rows are a
+representative public subset sized for tests; at production scale the
+same schema is loaded from the full public postal-code dataset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# (district, division) — all 64 districts, public administrative data.
+DISTRICT_DIVISION: list[tuple[str, str]] = [
+    ("Dhaka", "Dhaka"), ("Faridpur", "Dhaka"), ("Gazipur", "Dhaka"),
+    ("Gopalganj", "Dhaka"), ("Kishoreganj", "Dhaka"), ("Madaripur", "Dhaka"),
+    ("Manikganj", "Dhaka"), ("Munshiganj", "Dhaka"), ("Narayanganj", "Dhaka"),
+    ("Narsingdi", "Dhaka"), ("Rajbari", "Dhaka"), ("Shariatpur", "Dhaka"),
+    ("Tangail", "Dhaka"),
+    ("Chattogram", "Chattogram"), ("Bandarban", "Chattogram"),
+    ("Brahmanbaria", "Chattogram"), ("Chandpur", "Chattogram"),
+    ("Cumilla", "Chattogram"), ("Cox's Bazar", "Chattogram"),
+    ("Feni", "Chattogram"), ("Khagrachhari", "Chattogram"),
+    ("Lakshmipur", "Chattogram"), ("Noakhali", "Chattogram"),
+    ("Rangamati", "Chattogram"),
+    ("Rajshahi", "Rajshahi"), ("Bogura", "Rajshahi"), ("Joypurhat", "Rajshahi"),
+    ("Naogaon", "Rajshahi"), ("Natore", "Rajshahi"), ("Chapainawabganj", "Rajshahi"),
+    ("Pabna", "Rajshahi"), ("Sirajganj", "Rajshahi"),
+    ("Khulna", "Khulna"), ("Bagerhat", "Khulna"), ("Chuadanga", "Khulna"),
+    ("Jashore", "Khulna"), ("Jhenaidah", "Khulna"), ("Kushtia", "Khulna"),
+    ("Magura", "Khulna"), ("Meherpur", "Khulna"), ("Narail", "Khulna"),
+    ("Satkhira", "Khulna"),
+    ("Barisal", "Barisal"), ("Barguna", "Barisal"), ("Bhola", "Barisal"),
+    ("Jhalokati", "Barisal"), ("Patuakhali", "Barisal"), ("Pirojpur", "Barisal"),
+    ("Sylhet", "Sylhet"), ("Habiganj", "Sylhet"), ("Moulvibazar", "Sylhet"),
+    ("Sunamganj", "Sylhet"),
+    ("Rangpur", "Rangpur"), ("Dinajpur", "Rangpur"), ("Gaibandha", "Rangpur"),
+    ("Kurigram", "Rangpur"), ("Lalmonirhat", "Rangpur"), ("Nilphamari", "Rangpur"),
+    ("Panchagarh", "Rangpur"), ("Thakurgaon", "Rangpur"),
+    ("Mymensingh", "Mymensingh"), ("Jamalpur", "Mymensingh"),
+    ("Netrokona", "Mymensingh"), ("Sherpur", "Mymensingh"),
+]
+
+# (variant, canonical) — spelling/abbreviation variants the reference
+# resolves (district_processor.py:292-407; normalizer corrections).
+DISTRICT_VARIANTS: list[tuple[str, str]] = [
+    ("dhaka", "Dhaka"), ("daka", "Dhaka"), ("dhakka", "Dhaka"), ("ঢাকা", "Dhaka"),
+    ("chattogram", "Chattogram"), ("chittagong", "Chattogram"),
+    ("chittagang", "Chattogram"), ("ctg", "Chattogram"), ("চট্টগ্রাম", "Chattogram"),
+    ("cumilla", "Cumilla"), ("comilla", "Cumilla"),
+    ("bogura", "Bogura"), ("bogra", "Bogura"),
+    ("jashore", "Jashore"), ("jessore", "Jashore"),
+    ("barisal", "Barisal"), ("barishal", "Barisal"),
+    ("sylhet", "Sylhet"), ("সিলেট", "Sylhet"),
+    ("rajshahi", "Rajshahi"), ("রাজশাহী", "Rajshahi"),
+    ("khulna", "Khulna"), ("খুলনা", "Khulna"),
+    ("rangpur", "Rangpur"), ("রংপুর", "Rangpur"),
+    ("mymensingh", "Mymensingh"), ("narayanganj", "Narayanganj"),
+    ("gazipur", "Gazipur"), ("coxs bazar", "Cox's Bazar"),
+    ("cox's bazar", "Cox's Bazar"),
+] + [(d.lower(), d) for d, _ in DISTRICT_DIVISION]
+
+# (area, district, postal_code) — representative public subset covering
+# the reference's fixture addresses; `Dhaka` is intentionally hot
+# (many areas) so skew handling is exercised.
+AREAS: list[tuple[str, str, str]] = [
+    ("Gulshan", "Dhaka", "1212"), ("Banani", "Dhaka", "1213"),
+    ("Dhanmondi", "Dhaka", "1209"), ("Uttara", "Dhaka", "1230"),
+    ("Mirpur", "Dhaka", "1216"), ("Mohammadpur", "Dhaka", "1207"),
+    ("Tejgaon", "Dhaka", "1208"), ("Bashundhara R/A", "Dhaka", "1229"),
+    ("Badda", "Dhaka", "1212"), ("Khilgaon", "Dhaka", "1219"),
+    ("Motijheel", "Dhaka", "1000"), ("Jigatola", "Dhaka", "1209"),
+    ("Monipur", "Dhaka", "1216"), ("Gulisthan", "Dhaka", "1000"),
+    ("Lalbagh", "Dhaka", "1211"), ("Shyamoli", "Dhaka", "1207"),
+    ("Banasree", "Dhaka", "1219"), ("Baridhara", "Dhaka", "1212"),
+    ("Agrabad", "Chattogram", "4100"), ("Halishahar", "Chattogram", "4219"),
+    ("Nasirabad", "Chattogram", "4000"), ("Pahartali", "Chattogram", "4202"),
+    ("Khulshi", "Chattogram", "4225"),
+    ("Zindabazar", "Sylhet", "3100"), ("Ambarkhana", "Sylhet", "3100"),
+    ("Shiababi", "Rajshahi", "6000"), ("Boalia", "Rajshahi", "6100"),
+    ("Sonadanga", "Khulna", "9100"), ("Daulatpur", "Khulna", "9202"),
+    ("Rupatali", "Barisal", "8200"),
+]
+
+# area spelling variants (variant_lower, canonical_area)
+AREA_VARIANTS: list[tuple[str, str]] = [
+    ("zigatola", "Jigatola"), ("jigatola", "Jigatola"), ("jhigatola", "Jigatola"),
+    ("gulisthan", "Gulisthan"), ("gulistan", "Gulisthan"),
+    ("bashundhara", "Bashundhara R/A"), ("bashundhara r/a", "Bashundhara R/A"),
+    ("uttara", "Uttara"), ("mirpur", "Mirpur"), ("gulshan", "Gulshan"),
+    ("banani", "Banani"), ("dhanmondi", "Dhanmondi"), ("mohammadpur", "Mohammadpur"),
+    ("tejgaon", "Tejgaon"), ("halishahar", "Halishahar"), ("agrabad", "Agrabad"),
+    ("motijheel", "Motijheel"), ("badda", "Badda"), ("khilgaon", "Khilgaon"),
+    ("monipur", "Monipur"), ("west monipur", "Monipur"),
+] + [(a.lower(), a) for a, _, _ in AREAS]
+
+# (code, district, post_office) — representative postal-code DB rows
+POSTAL_CODES: list[tuple[str, str, str]] = [
+    ("1000", "Dhaka", "Dhaka GPO"), ("1100", "Dhaka", "Dhaka Sadar"),
+    ("1205", "Dhaka", "New Market"), ("1207", "Dhaka", "Mohammadpur"),
+    ("1208", "Dhaka", "Tejgaon"), ("1209", "Dhaka", "Jigatola"),
+    ("1211", "Dhaka", "Posta"), ("1212", "Dhaka", "Gulshan"),
+    ("1213", "Dhaka", "Banani"), ("1216", "Dhaka", "Mirpur"),
+    ("1219", "Dhaka", "Khilgaon"), ("1229", "Dhaka", "Khilkhet"),
+    ("1230", "Dhaka", "Uttara"), ("1310", "Narayanganj", "Fatullah"),
+    ("1400", "Narayanganj", "Narayanganj Sadar"), ("1700", "Gazipur", "Gazipur Sadar"),
+    ("4000", "Chattogram", "Chattogram GPO"), ("4100", "Chattogram", "Agrabad"),
+    ("4202", "Chattogram", "Pahartali"), ("4219", "Chattogram", "Halishahar"),
+    ("4225", "Chattogram", "Khulshi"), ("3100", "Sylhet", "Sylhet Sadar"),
+    ("6000", "Rajshahi", "Rajshahi GPO"), ("6100", "Rajshahi", "Boalia"),
+    ("9100", "Khulna", "Khulna GPO"), ("9202", "Khulna", "Daulatpur"),
+    ("8200", "Barisal", "Barisal Sadar"), ("5400", "Rangpur", "Rangpur Sadar"),
+    ("2200", "Mymensingh", "Mymensingh Sadar"), ("2000", "Tangail", "Tangail Sadar"),
+]
+
+
+def district_division_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(DISTRICT_DIVISION, "district string, division string")
+
+
+def district_variants_df(spark: SparkSession) -> DataFrame:
+    rows = sorted(set(DISTRICT_VARIANTS))
+    return spark.createDataFrame(rows, "variant string, district string")
+
+
+def areas_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(AREAS, "area string, district string, postal_code string")
+
+
+def area_variants_df(spark: SparkSession) -> DataFrame:
+    rows = sorted(set(AREA_VARIANTS))
+    return spark.createDataFrame(rows, "variant string, area string")
+
+
+def postal_codes_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(POSTAL_CODES, "code string, district string, post_office string")
+
+
+VALID_POSTAL_CODES = frozenset(code for code, _, _ in POSTAL_CODES)
+DISTRICT_TO_DIVISION = dict(DISTRICT_DIVISION)

@@ -1,0 +1,78 @@
+"""Component extraction golden tests over the 13 reference smoke
+addresses (reference tests/simple_test.py:63-76 — its de-facto suite)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_bangladesh_address_parser_spark.functions.normalize import normalize_expr
+from ai_bangladesh_address_parser_spark.operators.extract import extract_evidence
+from ai_bangladesh_address_parser_spark.operators.resolve import (
+    resolve_evidence,
+    resolved_wide,
+)
+
+# (address, expected-components subset)
+GOLDEN = [
+    ("105/A, Central Road, gulisthan, Dhaka",
+     {"house_number": "105/A", "area": "Gulisthan", "district": "Dhaka", "division": "Dhaka"}),
+    ("House 12, Road 5, Mirpur 1, Dhaka",
+     {"house_number": "12", "road": "5", "area": "Mirpur", "district": "Dhaka", "postal_code": "1216"}),
+    ("Flat A-3, Building 7, Bashundhara R/A, Dhaka",
+     {"flat_number": "A-3", "house_number": "7", "area": "Bashundhara R/A", "district": "Dhaka"}),
+    ('1152/C "Greenhouse", House# 45, Road# 08, Shapla Residential Area, Halishahar, Chittagong-4219',
+     {"house_number": "45", "road": "08", "area": "Halishahar", "district": "Chattogram", "postal_code": "4219"}),
+    ("101/1 west monipur House name- Dream house, 60 feet road, 4th floor, flat- D2, Mirpur-2, Dhaka-1216",
+     {"house_number": "101/1", "floor_number": "4th", "flat_number": "D2", "district": "Dhaka", "postal_code": "1216"}),
+    ("1/4, South Begun Bari (Master Bari), Tejgaon I/A, Tejgaon, Dhaka -1208. (Near Satrasta)",
+     {"house_number": "1/4", "area": "Tejgaon", "district": "Dhaka", "postal_code": "1208"}),
+    ("৬ রোড, ৯ ব্লক, C, চন্দ্রিমা মডেল টাউন, মোহাম্মদপুর, ঢাকা।",
+     {"road": "6", "block_number": "9", "district": "Dhaka", "division": "Dhaka"}),
+    ("৫৬ জিগাতলা, হাজী আবদুর রহমান লেন, ধানমন্ডি, ঢাকা-১২০৯",
+     {"area": "Dhanmondi", "district": "Dhaka", "postal_code": "1209"}),
+    ("sottota tower, h107/2,Road 7, zigatola",
+     {"house_number": "107/2", "road": "7", "area": "Jigatola", "district": "Dhaka", "division": "Dhaka"}),
+    ("Uttara, Sector 11, Road 13A, House 1, Floor 7B",
+     {"house_number": "1", "road": "13A", "area": "Uttara", "block_number": "11", "district": "Dhaka"}),
+    ("ctg hose 5 raod 9",
+     {"house_number": "5", "road": "9", "district": "Chattogram", "division": "Chattogram"}),
+    ("House#12:Road#5,dhakka",
+     {"house_number": "12", "road": "5", "district": "Dhaka", "division": "Dhaka"}),
+]
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    df = spark.createDataFrame(
+        [(f"m{i:03d}", addr) for i, (addr, _) in enumerate(GOLDEN)],
+        ["mention_id", "text"],
+    ).withColumn("normalized", normalize_expr("text"))
+    ev = extract_evidence(df)
+    wide = resolved_wide(resolve_evidence(ev))
+    return {r["mention_id"]: r.asDict() for r in wide.collect()}
+
+
+def test_component_accuracy(extracted):
+    errors = []
+    for i, (addr, want) in enumerate(GOLDEN):
+        got = extracted.get(f"m{i:03d}", {})
+        for comp, val in want.items():
+            if got.get(comp) != val:
+                errors.append(f"{addr[:40]!r}: {comp} = {got.get(comp)!r}, want {val!r}")
+    assert not errors, "\n".join(errors)
+
+
+def test_gazetteer_fills_postal_and_division(extracted):
+    # m007: Dhanmondi → postal 1209 validated; division inferred
+    got = extracted["m007"]
+    assert got["postal_code"] == "1209"
+    assert got["division"] == "Dhaka"
+    # m008: zigatola variant → Jigatola → district Dhaka → division Dhaka
+    got = extracted["m008"]
+    assert got["district"] == "Dhaka"
+    assert got["division"] == "Dhaka"
+
+
+def test_every_mention_resolved(extracted):
+    assert len(extracted) == len(GOLDEN)
+    for v in extracted.values():
+        assert v["overall_confidence"] > 0.5
