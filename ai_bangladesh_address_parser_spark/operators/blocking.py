@@ -1,0 +1,139 @@
+"""Stage 2 of the linkage pipeline: blocking.
+
+Replaces the reference's O(n²) all-pairs loop
+(examples/06-address-comparison.ts:56-105) with key-based blocking:
+
+  * ``p:<postal>``            — exact postal code (highest precision);
+  * ``d:<soundex(district)>`` — phonetic district key;
+  * ``m:<band>:<sig>``        — MinHash-band keys over mention tokens
+                                 (b bands × r rows, deterministic seeds).
+
+Keys are exploded to (mention_id, block_key) rows; candidate pairs are
+the within-block self-join with ``id_a < id_b`` dedup. Hot blocks (the
+``Dhaka`` problem at corpus scale) are handled by **pair-preserving
+salted self-join**: the left side takes one deterministic salt bucket,
+the right side is replicated to all buckets, so no candidate pair is
+lost while the shuffle key fans out (north_rule: explicit salting of
+hot blocks; AQE skew-join remains on as a second line of defense).
+
+Everything is JVM expressions — xxhash64/soundex/posexplode; no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_SEEDS = 12  # k minhashes
+MINHASH_BANDS = 4   # b bands of r = k/b rows each
+HOT_BLOCK_CAP = 1000   # blocks larger than this get salted
+SALT_BUCKETS = 8
+
+
+def minhash_signature_expr(text_col: str, n_seeds: int = MINHASH_SEEDS):
+    """array<bigint> of k minhashes over whitespace/comma tokens:
+    minhash_i = min over tokens of xxhash64(i || '|' || token).
+
+    Built as ONE SQL-parsed expression with explicit lambda variable
+    names: the Column-API lambda path (F.transform(..., lambda ...))
+    mis-binds variables when several higher-order expressions share a
+    projection (observed on PySpark 4.1.2 — sibling lambdas return
+    unstable garbage), while parser-named variables are stable.
+    Fixed integer seeds → deterministic across runs and partitions.
+    """
+    return F.expr(
+        f"transform(sequence(0, {n_seeds - 1}), s -> "
+        f"array_min(transform(filter(split(lower(`{text_col}`), '[\\\\s,]+'), t -> t != ''), "
+        f"w -> xxhash64(concat(cast(s as string), '|', w)))))"
+    )
+
+
+def _band_keys_from_sig(sig_col, n_seeds: int = MINHASH_SEEDS, n_bands: int = MINHASH_BANDS):
+    """'m:<band>:<xxhash64 of the band's r minhash rows>' per band."""
+    r = n_seeds // n_bands
+    bands = []
+    for b in range(n_bands):
+        rows = [F.element_at(sig_col, b * r + j + 1).cast("string") for j in range(r)]
+        sig = F.xxhash64(F.concat_ws(",", *rows))
+        bands.append(F.concat(F.lit(f"m:{b}:"), sig.cast("string")))
+    return F.array(*bands)
+
+
+def blocking_keys(
+    mentions: DataFrame,
+    id_col: str = "mention_id",
+    text_col: str = "normalized",
+    postal_col: str = "postal_code",
+    district_col: str = "district",
+    use_minhash: bool = True,
+) -> DataFrame:
+    """→ (mention_id, block_key), one row per key the mention blocks on."""
+    if use_minhash:
+        mentions = mentions.withColumn("_mh_sig", minhash_signature_expr(text_col))
+    keys = F.array()
+    if postal_col:
+        keys = F.concat(
+            keys,
+            F.when(
+                F.col(postal_col).isNotNull() & (F.col(postal_col) != ""),
+                F.array(F.concat(F.lit("p:"), F.col(postal_col))),
+            ).otherwise(F.array()),
+        )
+    if district_col:
+        keys = F.concat(
+            keys,
+            F.when(
+                F.col(district_col).isNotNull() & (F.col(district_col) != ""),
+                F.array(F.concat(F.lit("d:"), F.soundex(F.col(district_col)))),
+            ).otherwise(F.array()),
+        )
+    if use_minhash:
+        keys = F.concat(keys, _band_keys_from_sig(F.col("_mh_sig")))
+    return (
+        mentions.select(F.col(id_col).alias("mention_id"), F.explode(F.array_distinct(keys)).alias("block_key"))
+        .distinct()
+    )
+
+
+def block_stats(keys: DataFrame) -> DataFrame:
+    """Block-size metrics table — fed to the salting decision and to the
+    run's metrics sink (north_rule: per-partition lineage + metrics)."""
+    return keys.groupBy("block_key").agg(F.count(F.lit(1)).alias("block_size"))
+
+
+def candidate_pairs(
+    keys: DataFrame,
+    hot_cap: int = HOT_BLOCK_CAP,
+    salt_buckets: int = SALT_BUCKETS,
+    max_block: int | None = 100_000,
+) -> DataFrame:
+    """Within-block self-join → distinct (id_a, id_b), id_a < id_b.
+
+    Hot blocks (size > hot_cap) run through the salted join; blocks over
+    ``max_block`` are dropped entirely (degenerate keys — e.g. a band
+    signature shared by boilerplate — produce quadratic junk; the cap is
+    recorded in block stats so nothing is silently lost).
+    """
+    sizes = block_stats(keys)
+    k = keys.join(F.broadcast(sizes.filter(F.col("block_size") > (max_block or 2**62))), "block_key", "left_anti")
+    k = k.join(sizes, "block_key").withColumn("hot", F.col("block_size") > hot_cap)
+
+    cold = k.filter(~F.col("hot")).select("block_key", "mention_id")
+    a, b = cold.alias("a"), cold.alias("b")
+    cold_pairs = a.join(b, "block_key").filter(F.col("a.mention_id") < F.col("b.mention_id"))
+
+    hot = k.filter(F.col("hot")).select("block_key", "mention_id")
+    # left: one salt bucket per row; right: replicated to every bucket
+    hl = hot.withColumn("salt", F.pmod(F.xxhash64("mention_id"), F.lit(salt_buckets)))
+    hr = hot.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>")))
+    hot_pairs = (
+        hl.alias("a")
+        .join(hr.alias("b"), ["block_key", "salt"])
+        .filter(F.col("a.mention_id") < F.col("b.mention_id"))
+    )
+
+    return (
+        cold_pairs.select(F.col("a.mention_id").alias("id_a"), F.col("b.mention_id").alias("id_b"))
+        .unionByName(hot_pairs.select(F.col("a.mention_id").alias("id_a"), F.col("b.mention_id").alias("id_b")))
+        .distinct()
+    )

@@ -1,0 +1,129 @@
+"""Stage 3 of the linkage pipeline: batched pairwise scoring.
+
+Reproduces the reference's ``compare_addresses``
+(src/core/utils/address_utils.py:131-206): per-component string
+similarity on lowercased values, weighted sum (postal .30, district
+.25, area .20, house .10, road .10, division .05) renormalized over
+components present on BOTH sides, match iff score >= 0.85.
+
+Two scorer backends:
+  * ``difflib``      — exact reference parity (SequenceMatcher /
+    Ratcliff-Obershelp) as an Arrow-batched pandas UDF. This is the
+    oracle-faithful path used for the F1 ≥ 0.99 criterion.
+  * ``levenshtein``  — pure-JVM similarity 1 − lev/max_len via the
+    built-in ``levenshtein`` expression; whole-stage codegen, no Python
+    at all. This is the 100 TB hot path; its threshold is calibrated in
+    tests to agree with difflib on the labeled pairs.
+
+Both score the candidate-pair DataFrame columnar-wise — no per-row
+driver logic, no collect.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..reference_semantics import ALL_COMPONENTS, MATCH_THRESHOLD, PAIR_WEIGHTS
+
+
+@F.pandas_udf(DoubleType())
+def _difflib_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+    """SequenceMatcher.ratio per pair, vectorized over an Arrow batch.
+    Null/empty on either side → NaN (component not comparable)."""
+    from difflib import SequenceMatcher
+
+    out = []
+    for x, y in zip(a, b):
+        if x is None or y is None or x == "" or y == "":
+            out.append(None)
+        else:
+            out.append(SequenceMatcher(None, x, y).ratio())
+    return pd.Series(out, dtype="float64")
+
+
+def _lev_sim(a: Column, b: Column) -> Column:
+    """1 − levenshtein/max(len) in doubles; null when either side empty."""
+    return F.when(
+        a.isNotNull() & b.isNotNull() & (a != "") & (b != ""),
+        1.0 - F.levenshtein(a, b) / F.greatest(F.length(a), F.length(b)).cast("double"),
+    )
+
+
+def _token_jaccard(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| over whitespace tokens — exact rational, JVM-side."""
+    ta = F.array_distinct(F.split(a, r"(?U)\s+"))
+    tb = F.array_distinct(F.split(b, r"(?U)\s+"))
+    return F.when(
+        a.isNotNull() & b.isNotNull() & (a != "") & (b != ""),
+        F.size(F.array_intersect(ta, tb)) / F.size(F.array_union(ta, tb)).cast("double"),
+    )
+
+
+def score_pairs(
+    pairs: DataFrame,
+    components: list[str] | None = None,
+    scorer: str = "difflib",
+    threshold: float = MATCH_THRESHOLD,
+    suffix_a: str = "_a",
+    suffix_b: str = "_b",
+) -> DataFrame:
+    """Input: one row per candidate pair with component columns
+    ``<comp>_a`` / ``<comp>_b``. Output: input + per-component sims +
+    ``score`` + ``is_match``.
+
+    Weighted-score semantics follow the reference exactly: weights are
+    renormalized over the components where BOTH sides are non-empty;
+    when no weighted component is comparable, fall back to the
+    unweighted mean of the comparable similarities (address_utils.py
+    :189-194); no comparable components at all → score 0.0.
+    """
+    components = components or ALL_COMPONENTS
+    sim = {"difflib": _difflib_ratio, "levenshtein": _lev_sim, "token_jaccard": _token_jaccard}[scorer]
+
+    df = pairs
+    sim_cols = []
+    for comp in components:
+        a = F.lower(F.trim(F.col(comp + suffix_a)))
+        b = F.lower(F.trim(F.col(comp + suffix_b)))
+        df = df.withColumn(f"sim_{comp}", sim(a, b))
+        sim_cols.append(comp)
+
+    weighted = sum(
+        (F.coalesce(F.when(F.col(f"sim_{c}").isNotNull(), F.lit(w) * F.col(f"sim_{c}")), F.lit(0.0)))
+        for c, w in PAIR_WEIGHTS.items() if c in components
+    )
+    total_w = sum(
+        (F.when(F.col(f"sim_{c}").isNotNull(), F.lit(w)).otherwise(F.lit(0.0)))
+        for c, w in PAIR_WEIGHTS.items() if c in components
+    )
+    n_sims = sum((F.when(F.col(f"sim_{c}").isNotNull(), 1).otherwise(0)) for c in sim_cols)
+    sum_sims = sum((F.coalesce(F.col(f"sim_{c}"), F.lit(0.0))) for c in sim_cols)
+    avg_sim = F.when(n_sims > 0, sum_sims / n_sims).otherwise(F.lit(0.0))
+
+    df = df.withColumn(
+        "score",
+        F.when(total_w > 0, weighted / total_w).otherwise(avg_sim),
+    ).withColumn("is_match", F.col("score") >= F.lit(threshold))
+    return df
+
+
+def attach_pair_components(
+    pairs: DataFrame,
+    resolved_wide: DataFrame,
+    id_col: str = "mention_id",
+    components: list[str] | None = None,
+) -> DataFrame:
+    """Join candidate-pair ids to their component columns (two hash
+    joins on the mention id — co-partitioned with the pair generation
+    shuffle, so AQE usually keeps one side local)."""
+    components = components or ALL_COMPONENTS
+    a = resolved_wide.select(
+        F.col(id_col).alias("id_a"), *[F.col(c).alias(c + "_a") for c in components]
+    )
+    b = resolved_wide.select(
+        F.col(id_col).alias("id_b"), *[F.col(c).alias(c + "_b") for c in components]
+    )
+    return pairs.join(a, "id_a").join(b, "id_b")

@@ -1,0 +1,171 @@
+"""Blocking, pairwise scoring, and connected-components tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_bangladesh_address_parser_spark import reference_semantics as ref
+from ai_bangladesh_address_parser_spark.operators.blocking import (
+    block_stats,
+    blocking_keys,
+    candidate_pairs,
+)
+from ai_bangladesh_address_parser_spark.operators.cluster import (
+    assign_entity_ids,
+    connected_components,
+)
+from ai_bangladesh_address_parser_spark.operators.scoring import (
+    attach_pair_components,
+    score_pairs,
+)
+
+MENTIONS = [
+    # (id, normalized, postal, district) — m1/m2 same postal; m3 alone;
+    # m4/m5 same district soundex, no postal
+    ("m1", "house 12 road 5 mirpur dhaka", "1216", "Dhaka"),
+    ("m2", "house 12, road 5, mirpur, dhaka", "1216", "Dhaka"),
+    ("m3", "agrabad chattogram", "4100", "Chattogram"),
+    ("m4", "banani dhaka", None, "Dhaka"),
+    ("m5", "gulshan dhaka", None, "Dhaka"),
+]
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    df = spark.createDataFrame(
+        MENTIONS, "mention_id string, normalized string, postal_code string, district string"
+    )
+    return blocking_keys(df).cache()
+
+
+def test_blocking_key_families(keys):
+    fams = {r["block_key"].split(":")[0] for r in keys.collect()}
+    assert fams == {"p", "d", "m"}
+    got = {r["block_key"] for r in keys.filter(F.col("block_key").startswith("p:")).collect()}
+    assert got == {"p:1216", "p:4100"}
+
+
+def test_minhash_bands_are_deterministic(spark, keys):
+    df = spark.createDataFrame(
+        MENTIONS, "mention_id string, normalized string, postal_code string, district string"
+    )
+    again = {tuple(r) for r in blocking_keys(df).collect()}
+    assert {tuple(r) for r in keys.collect()} == again
+
+
+def test_identical_token_sets_share_all_bands(keys):
+    # m1/m2 differ only in commas → same token multiset → same bands
+    k1 = {r["block_key"] for r in keys.filter("mention_id = 'm1'").collect() if r["block_key"].startswith("m:")}
+    k2 = {r["block_key"] for r in keys.filter("mention_id = 'm2'").collect() if r["block_key"].startswith("m:")}
+    assert k1 == k2 and len(k1) == 4
+
+
+def test_candidate_pairs_within_blocks(keys):
+    pairs = {(r["id_a"], r["id_b"]) for r in candidate_pairs(keys).collect()}
+    assert ("m1", "m2") in pairs
+    assert ("m4", "m5") in pairs  # d:Dhaka soundex block
+    assert not any("m3" in p for p in pairs)
+
+
+def test_salted_hot_block_loses_no_pairs(spark):
+    # one hot key shared by 40 ids: expect all C(40,2) pairs
+    df = spark.createDataFrame([(f"x{i:02d}", "k") for i in range(40)], "mention_id string, block_key string")
+    pairs = candidate_pairs(df, hot_cap=10, salt_buckets=4)
+    assert pairs.count() == 40 * 39 // 2
+
+
+def test_max_block_drops_degenerate_keys(spark):
+    df = spark.createDataFrame(
+        [(f"x{i:02d}", "huge") for i in range(30)] + [("a", "ok"), ("b", "ok")],
+        "mention_id string, block_key string",
+    )
+    pairs = candidate_pairs(df, hot_cap=100, max_block=20)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {("a", "b")}
+
+
+def _components(**kw):
+    base = {c: "" for c in ref.ALL_COMPONENTS}
+    base.update(kw)
+    return base
+
+
+SCORE_CASES = [
+    (_components(postal_code="1216", district="Dhaka", house_number="12"),
+     _components(postal_code="1216", district="Dhaka", house_number="12")),
+    (_components(postal_code="1216", district="Dhaka"),
+     _components(postal_code="1217", district="Dhaka")),
+    (_components(area="Mirpur", district="Dhaka"),
+     _components(area="Mirpur", district="Chattogram")),
+    (_components(house_number="12/A"), _components(house_number="12/B")),
+    (_components(flat_number="A3"), _components(floor_number="4")),
+    (_components(district="Dhaka", area="Uttara", road="13A"),
+     _components(district="Dhaka", area="Uttara", road="13")),
+]
+
+
+def test_score_pairs_difflib_matches_reference(spark):
+    rows = []
+    for i, (c1, c2) in enumerate(SCORE_CASES):
+        row = {"id_a": f"a{i}", "id_b": f"b{i}"}
+        row.update({k + "_a": v for k, v in c1.items()})
+        row.update({k + "_b": v for k, v in c2.items()})
+        rows.append(row)
+    df = spark.createDataFrame(rows)
+    got = {r["id_a"]: r for r in score_pairs(df, scorer="difflib").collect()}
+    for i, (c1, c2) in enumerate(SCORE_CASES):
+        want = ref.compare_components(c1, c2)
+        g = got[f"a{i}"]
+        assert g["score"] == pytest.approx(want["score"], abs=1e-9), (i, c1, c2)
+        assert g["is_match"] == want["match"], (i, c1, c2)
+
+
+def test_levenshtein_scorer_close_to_difflib(spark):
+    rows = []
+    for i, (c1, c2) in enumerate(SCORE_CASES):
+        row = {"id_a": f"a{i}", "id_b": f"b{i}"}
+        row.update({k + "_a": v for k, v in c1.items()})
+        row.update({k + "_b": v for k, v in c2.items()})
+        rows.append(row)
+    df = spark.createDataFrame(rows)
+    dd = {r["id_a"]: r["is_match"] for r in score_pairs(df, scorer="difflib").collect()}
+    lv = {r["id_a"]: r["is_match"] for r in score_pairs(df, scorer="levenshtein").collect()}
+    agree = sum(dd[k] == lv[k] for k in dd) / len(dd)
+    assert agree >= 0.8  # calibration tracked at scale in bench fixtures
+
+
+def test_connected_components_transitivity(spark):
+    # chain a-b-c plus isolated pair d-e; no direct a-c edge
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "src string, dst string"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+
+def test_connected_components_bigger_graph(spark):
+    # two components: ring 0..9, chain 100..104, assorted singletons absent
+    ring = [(f"n{i}", f"n{(i + 1) % 10}") for i in range(10)]
+    chain = [(f"c{i}", f"c{i + 1}") for i in range(100, 104)]
+    edges = spark.createDataFrame(ring + chain, "src string, dst string")
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert all(got[f"n{i}"] == "n0" for i in range(10))
+    assert all(got[f"c{i}"] == "c100" for i in range(100, 105))
+
+
+def test_assign_entity_ids_keeps_singletons(spark):
+    mentions = spark.createDataFrame([("a",), ("b",), ("z",)], ["mention_id"])
+    edges = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    got = {r["mention_id"]: r["entity_id"] for r in assign_entity_ids(mentions, edges).collect()}
+    assert got == {"a": "a", "b": "a", "z": "z"}
+
+
+def test_attach_pair_components(spark):
+    wide = spark.createDataFrame(
+        [("m1", "Dhaka", "1216"), ("m2", "Dhaka", "1216")],
+        "mention_id string, district string, postal_code string",
+    )
+    pairs = spark.createDataFrame([("m1", "m2")], "id_a string, id_b string")
+    out = attach_pair_components(pairs, wide, components=["district", "postal_code"])
+    r = out.first()
+    assert r["district_a"] == r["district_b"] == "Dhaka"
+    scored = score_pairs(out, components=["district", "postal_code"]).first()
+    assert scored["is_match"] and scored["score"] == pytest.approx(1.0)
