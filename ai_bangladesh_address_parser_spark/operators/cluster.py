@@ -57,9 +57,12 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _signature(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor, not sum: edges are distinct, so xor is an order-free set
+    # signature — and it cannot overflow under ANSI mode (Spark 4
+    # default), where sum(xxhash64) throws ARITHMETIC_OVERFLOW.
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
     ).first()
     return row["n"], row["h"]
 

@@ -103,7 +103,9 @@ def _positional_postal(text: Column, source: str, conf: float) -> Column:
     val = F.regexp_extract(text, r"(?U)\b(\d{4})\b", 1)
     # end position of first match: locate + 4 - 1 (1-based instr)
     pos_end = F.instr(text, val) + F.lit(3)
-    ok = (val != "") & (pos_end > F.length(text) * 0.5) & (val.cast("int") >= 1000)
+    # try_cast: "" → null (a plain cast throws under ANSI mode, the
+    # Spark 4 default — boolean AND does not short-circuit in codegen)
+    ok = (val != "") & (pos_end > F.length(text) * 0.5) & (val.try_cast("int") >= 1000)
     return F.when(
         ok,
         F.struct(
@@ -244,10 +246,15 @@ def gazetteer_evidence(evidence: DataFrame) -> DataFrame:
     dd = F.broadcast(gz.district_division_df(spark))
     postals = F.broadcast(gz.postal_codes_df(spark))
 
+    # one row per mention; fanned out to six enrichment branches below —
+    # persist so the evidence aggregation runs once, not six times (the
+    # cluster-scale analogue materializes this at an Iceberg stage
+    # boundary, see plans.pipeline.StageStore)
     first_ev = (
         evidence.groupBy("mention_id")
         .pivot("component", ["area", "district", "postal_code"])
         .agg(F.max_by("value", F.struct("confidence", "value")))
+        .persist()
     )
 
     a = first_ev.join(areas, first_ev.area == areas.area, "inner")
@@ -307,10 +314,22 @@ def gazetteer_evidence(evidence: DataFrame) -> DataFrame:
     )
 
 
-def extract_evidence(mentions: DataFrame, id_col: str = "mention_id", text_col: str = "normalized") -> DataFrame:
+def extract_evidence(
+    mentions: DataFrame,
+    id_col: str = "mention_id",
+    text_col: str = "normalized",
+    materialize: bool = True,
+) -> DataFrame:
     """Full stage 3-7 evidence generation. Input must already carry the
-    normalized text column (see functions.normalize.normalize_expr)."""
+    normalized text column (see functions.normalize.normalize_expr).
+
+    ``materialize`` persists the first-pass evidence before the
+    gazetteer enrichment fans out over it (6 broadcast-join branches) —
+    without it the regex battery is re-evaluated per branch and the
+    logical plan grows combinatorially."""
     base = regex_evidence(mentions, id_col, text_col).unionByName(
         vocab_evidence(mentions, id_col, text_col)
     )
+    if materialize:
+        base = base.persist()
     return base.unionByName(gazetteer_evidence(base))

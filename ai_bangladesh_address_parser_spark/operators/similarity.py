@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths, per the scale playbook:
+
+  * **Brute-force cosine top-k** — the exactness baseline: broadcast
+    the (small) query set, one narrow pass over the corpus computing
+    dot products with JVM higher-order functions (no Python), window
+    top-k per query. Linear in |corpus|·|queries| — correct tool when
+    queries are few.
+  * **LSH-bucketed top-k** — the 100 TB path: deterministic
+    random-hyperplane signs derived from md5 (portable, seedless),
+    corpus hashed once into 2^n_planes buckets, queries probe their
+    bucket (+ optional multi-probe neighbors at Hamming distance 1),
+    scoring only within buckets. Sub-linear candidate volume; recall
+    tested against the brute-force baseline in pytest.
+
+Embedding dims are data-dependent; every expression reads
+``size(embedding)`` instead of assuming a constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (query_id, neighbor_id, rank, cosine): exact top-k neighbors of
+    each query among corpus rows (self-hits excluded).
+
+    The query side is broadcast — the join is narrow over the corpus;
+    the only shuffle is the per-query top-k window (tiny: k rows per
+    query survive the local partial sort under AQE)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplane_bucket_expr(vec_col: str, n_planes: int = 8) -> Column:
+    """Deterministic sign-random-projection bucket id in [0, 2^n).
+
+    Plane p's weight for dimension i is ±1 from the parity of the
+    md5-derived hash of ``p|i`` — no RNG, no stored plane matrix,
+    identical across runs/partitions/engines."""
+    parts = []
+    for p in range(n_planes):
+        dot = F.expr(
+            f"aggregate(zip_with(cast(`{vec_col}` as array<double>), "
+            f"sequence(0, size(`{vec_col}`) - 1), (x, i) -> "
+            f"x * (cast(conv(substring(md5(concat('{p}', '|', cast(i as string))), 1, 14), 16, 10) as bigint) % 2 * 2 - 1)), "
+            f"cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        parts.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return sum(parts[1:], parts[0]).alias("bucket")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows in the query's bucket
+    (plus, with ``multiprobe``, the n_planes buckets at Hamming
+    distance 1 — the standard recall knob). Same output schema as
+    :func:`brute_force_topk`."""
+    bucket = hyperplane_bucket_expr(vec_col, n_planes)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), bucket)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), bucket)
+    if multiprobe:
+        probes = F.concat(
+            F.array(F.col("bucket")),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                lambda p: F.col("bucket").bitwiseXOR(F.shiftleft(F.lit(1), p)),
+            ),
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+    scored = (
+        c.join(q.hint("shuffle_hash"), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket self-join (all
+    2^n_planes buckets in parallel) → cosine ≥ threshold. The
+    embedding-space member of the dedup family in
+    ``operators.dedup``."""
+    bucket = hyperplane_bucket_expr(vec_col, n_planes)
+    d = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket)
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .withColumn("cosine", cosine_expr(F.col("a._v").cast("array<double>"), F.col("b._v").cast("array<double>")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cosine")
+        .distinct()
+    )

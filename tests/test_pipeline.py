@@ -1,0 +1,95 @@
+"""End-to-end linkage pipeline tests (pages → entities) + generator
+separability property vs the pure-Python reference oracle."""
+
+import itertools
+import os
+
+from pyspark.sql import functions as F
+
+from ai_bangladesh_address_parser_spark.data.gazetteer import DISTRICT_TO_DIVISION
+from ai_bangladesh_address_parser_spark.plans.pipeline import (
+    LinkagePlan,
+    StageStore,
+    pairwise_f1,
+)
+from ai_bangladesh_address_parser_spark.reference_semantics import compare_components
+from ai_bangladesh_address_parser_spark.sources.pages import (
+    _MISSPELL,
+    SYNTH_AREAS,
+    synth_pages,
+)
+
+
+def test_synth_corpus_separable_under_reference_semantics():
+    """Every cross-entity pair scores < 0.85 and every within-entity
+    surface-form pair scores ≥ 0.85 under the reference's compare
+    semantics — exhaustive over all entity classes."""
+    classes = []
+    n = len(SYNTH_AREAS)
+    for s in range(9):
+        for ai, (area, dist, postal) in enumerate(SYNTH_AREAS):
+            base = {
+                "house_number": str(11 * ((s + ai) % 9 + 1)),
+                "road": str((s + ai // 9) % 9 + 1),
+                "area": area,
+                "district": dist,
+                "division": DISTRICT_TO_DIVISION[dist],
+                "postal_code": postal,
+            }
+            v3 = dict(base, area=_MISSPELL.get(area, area))
+            classes.append(((ai, s), [base, v3]))
+    for (k1, v1), (k2, v2) in itertools.combinations(classes, 2):
+        if v1[0]["district"] != v2[0]["district"]:
+            continue  # never share a blocking key with high sim
+        for c1, c2 in itertools.product(v1, v2):
+            assert compare_components(c1, c2)["score"] < 0.85, (k1, k2)
+    for _, (base, v3) in classes:
+        assert compare_components(base, v3)["score"] >= 0.85
+
+
+def test_pages_schema_and_determinism(spark):
+    pages, truth = synth_pages(spark, n_pages=50, n_entities=20)
+    assert [f.name for f in pages.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    assert dict(pages.dtypes)["html"] == "binary"
+    a = sorted(r.text for r in pages.collect())
+    b = sorted(r.text for r in synth_pages(spark, 50, 20, n_partitions=3)[0].collect())
+    assert a == b  # partitioning-independent, run-independent
+    assert truth.count() == 50
+
+
+def test_linkage_end_to_end(spark, sf_dir, tmp_path):
+    """One full run covering: F1 ≥ 0.99 vs ground truth, address-free
+    negative pages staying singletons, per-stage checkpoints on disk,
+    resume-from-checkpoint agreement, and deterministic entity ids."""
+    pages, truth = synth_pages(spark, n_pages=300, n_entities=80)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    neg = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    corpus = pages.unionByName(neg)
+
+    store = StageStore(base=str(tmp_path / "ckpt"), job_id="t1")
+    ents = LinkagePlan(spark, scorer="levenshtein", store=store).run(corpus).cache()
+    assert ents.count() == 340
+
+    neg_ents = ents.filter(F.col("mention_id").startswith("doc://"))
+    assert neg_ents.select("entity_id").distinct().count() == neg_ents.count()
+
+    pos = ents.filter(~F.col("mention_id").startswith("doc://"))
+    m = pairwise_f1(pos, truth)
+    assert m["f1"] >= 0.99, m
+
+    for stage in ["s1_mentions", "s2_block_keys", "s3_match_edges", "s4_entities"]:
+        assert os.path.exists(os.path.join(str(tmp_path / "ckpt"), stage, "_SUCCESS"))
+
+    # resume path: a second job over the same store reuses every stage
+    # and produces identical entity assignments (determinism)
+    plan2 = LinkagePlan(spark, store=StageStore(base=str(tmp_path / "ckpt"), job_id="t2"))
+    ents2 = plan2.run(corpus)
+    ids1 = {r.mention_id: r.entity_id for r in ents.collect()}
+    ids2 = {r.mention_id: r.entity_id for r in ents2.collect()}
+    assert ids1 == ids2
