@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship linkage pipeline;
+``queries()``/``oracle_sql()`` expose one entry per implemented
+operator family from SURVEY.md §2 with a DuckDB-runnable ANSI oracle.
+
+Oracle-portability rules used throughout (see SURVEY.md §4):
+  * hashes are md5-derived (identical bit-for-bit in Spark and DuckDB;
+    xxhash64 exists only in Spark);
+  * regex patterns avoid Java-only flags ((?U)) — test data here is
+    ASCII/Bangla-replaced before any regex runs;
+  * every float output is ``round(x, 6)``; ids are zero-padded strings
+    where ordering matters; ties are broken by total orders.
 """
 
 from __future__ import annotations
@@ -12,6 +18,87 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_bangladesh_address_parser_spark.data import gazetteer as gz
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _values_sql(rows: list[tuple], cols: list[str]) -> str:
+    """Inline VALUES table from Python constants (single-quote escaped)."""
+    def lit(v):
+        return "'" + str(v).replace("'", "''") + "'"
+    body = ", ".join("(" + ", ".join(lit(x) for x in r) + ")" for r in rows)
+    return f"(VALUES {body}) AS t({', '.join(cols)})"
+
+
+# Five canonical (area, postal) pairs used by the synthesized-component
+# queries; area index = c_custkey % 5. All Dhaka.
+_SYN_AREAS = [("Gulshan", "1212"), ("Banani", "1213"), ("Dhanmondi", "1209"),
+              ("Uttara", "1230"), ("Mirpur", "1216")]
+
+_AREA_CASE = ("case c_custkey % 5 " +
+              " ".join(f"when {i} then '{a}'" for i, (a, _) in enumerate(_SYN_AREAS[:-1])) +
+              f" else '{_SYN_AREAS[-1][0]}' end")
+_POSTAL_CASE = ("case c_custkey % 5 " +
+                " ".join(f"when {i} then '{p}'" for i, (_, p) in enumerate(_SYN_AREAS[:-1])) +
+                f" else '{_SYN_AREAS[-1][1]}' end")
+
+_COMP_SQL = f"""
+  select lpad(cast(c_custkey as varchar), 6, '0') as mention_id,
+         cast(c_custkey % 151 + 1 as varchar) as house_number,
+         cast(c_custkey % 61 + 1 as varchar) as road,
+         {_AREA_CASE} as area,
+         'Dhaka' as district,
+         'Dhaka' as division,
+         {_POSTAL_CASE} as postal_code,
+         '' as flat_number, '' as floor_number, '' as block_number
+  from customer
+"""
+
+
+def _components_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _COMP_SQL."""
+    c = _t(spark, sf_dir, "customer")
+    area_arr = F.array(*[F.lit(a) for a, _ in _SYN_AREAS])
+    postal_arr = F.array(*[F.lit(p) for _, p in _SYN_AREAS])
+    idx = (F.col("c_custkey") % 5).cast("int") + 1
+    return c.select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id"),
+        (F.col("c_custkey") % 151 + 1).cast("string").alias("house_number"),
+        (F.col("c_custkey") % 61 + 1).cast("string").alias("road"),
+        F.element_at(area_arr, idx).alias("area"),
+        F.lit("Dhaka").alias("district"),
+        F.lit("Dhaka").alias("division"),
+        F.element_at(postal_arr, idx).alias("postal_code"),
+        F.lit("").alias("flat_number"),
+        F.lit("").alias("floor_number"),
+        F.lit("").alias("block_number"),
+    )
+
+
+# decorated text exercising the full normalization chain (Bangla
+# numerals, keyword/place transliteration, '#', ':'):
+_DECOR_SQL = ("text || ' ৬ নং রোড, ঢাকা: #' || cast(doc_id as varchar)")
+
+
+def _decorated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" ৬ নং রোড, ঢাকা: #"),
+                 F.col("doc_id").cast("string")).alias("text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -19,19 +106,14 @@ def entry(spark: SparkSession) -> DataFrame:
     cluster) over a Common-Crawl-style pages table — deterministic
     synthetic address pages (BASELINE.json input_hint shape) unioned
     with the sf0.001 ``documents`` corpus as address-free negatives.
-
     Returns the entities table: one row per page with resolved address
     components and a transitive ``entity_id``.
     """
-    from pyspark.sql import functions as F
-
     from ai_bangladesh_address_parser_spark.plans.pipeline import link_pages
     from ai_bangladesh_address_parser_spark.sources.pages import synth_pages
 
-    # The smoke corpus is tiny; cap task concurrency so the job also
-    # fits a default-heap (1g) driver JVM even under local[32] — 32
-    # concurrent tasks' execution/codegen overhead alone can exhaust a
-    # small heap. Runtime-settable conf + explicit input partitioning.
+    # Cap task concurrency so the smoke also fits a default-heap (1g)
+    # driver JVM under local[32].
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     pages, _truth = synth_pages(spark, n_pages=400, n_entities=100, n_partitions=8)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
@@ -43,26 +125,805 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("lang").alias("lang"),
     )
     # use_minhash=False: the smoke corpus always yields a postal or
-    # district key, and skipping the minhash bands keeps the candidate
-    # volume + stage count small enough for a default-heap driver JVM.
-    # (Full three-key blocking incl. minhash runs in bench.py + tests.)
+    # district key; full three-key blocking runs in bench.py + tests.
     return link_pages(spark, pages.unionByName(neg), use_minhash=False)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+# ---------------------------------------------------------------------------
+# S: sources / scans
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def q_s1_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: projection+filter reaching the parquet scan (PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= "1995-06-01") & (F.col("l_quantity") < 5))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+# T: row-wise transforms
+
+
+def q_t1_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_bangladesh_address_parser_spark.functions.script import script_cols
+
+    d = _decorated_docs(spark, sf_dir)
+    cols = script_cols("text")
+    return d.select(
+        "doc_id",
+        F.round(cols["bangla_ratio"], 6).alias("bangla_ratio"),
+        F.round(cols["english_ratio"], 6).alias("english_ratio"),
+        cols["primary_script"].alias("primary_script"),
+    )
+
+
+def q_t2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_bangladesh_address_parser_spark.functions.normalize import normalize_expr
+
+    d = _decorated_docs(spark, sf_dir)
+    return d.select("doc_id", normalize_expr("text").alias("normalized"))
+
+
+def q_t3_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/T4/T5/T8: tiered regexp_extract battery over synthesized
+    address strings (same construction in the oracle)."""
+    comp = _components_df(spark, sf_dir)
+    addr = F.concat(
+        F.lit("House "), F.col("house_number"), F.lit(", Road "), F.col("road"),
+        F.lit(", "), F.col("area"), F.lit(", "), F.col("district"),
+        F.lit("-"), F.col("postal_code"),
+    )
+    d = comp.select("mention_id", addr.alias("addr"))
+    return d.select(
+        "mention_id",
+        "addr",
+        F.regexp_extract("addr", r"(?i)house[ ]+(?:no[ ]+)?([0-9]+)", 1).alias("x_house"),
+        F.regexp_extract("addr", r"(?i)road[ ]+(?:no[ ]+)?([0-9]+)", 1).alias("x_road"),
+        F.regexp_extract("addr", r"[A-Za-z]+-([0-9]{4})", 1).alias("x_postal"),
+        F.regexp_extract("addr", r"(?i)(?:flat|apt)[ ]+([A-Za-z0-9]+)", 1).alias("x_flat"),
+    )
+
+
+def q_t7_district_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: comma-part tokens joined against the broadcast
+    district-variant vocabulary; end-of-address rule sets confidence."""
+    c = _t(spark, sf_dir, "customer")
+    variants = ["dhaka", "chittagong", "ctg", "jessore", "bogra", "barishal"]
+    var_arr = F.array(*[F.lit(v) for v in variants])
+    mention = c.select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id"),
+        F.concat(F.lit("House "), (F.col("c_custkey") % 99 + 1).cast("string"),
+                 F.lit(", "),
+                 F.element_at(var_arr, (F.col("c_custkey") % 6).cast("int") + 1)).alias("m"),
+    )
+    parts = F.split(F.col("m"), r",\s*")
+    toks = mention.select(
+        "mention_id",
+        F.posexplode(parts).alias("part_idx", "part"),
+        F.size(parts).alias("n_parts"),
+    ).select("mention_id", "part_idx", "n_parts", F.lower(F.trim("part")).alias("key"))
+    dv = F.broadcast(gz.district_variants_df(spark))
+    return (
+        toks.join(dv, toks.key == dv.variant)
+        .groupBy("mention_id", "district")
+        .agg(F.max(F.col("part_idx") == F.col("n_parts") - 1).alias("at_end"))
+        .select(
+            "mention_id",
+            F.col("district"),
+            F.when(F.col("at_end"), 0.95).otherwise(0.90).alias("confidence"),
+        )
+    )
+
+
+def q_t11_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_bangladesh_address_parser_spark.functions.format import format_address_expr
+
+    comp = _components_df(spark, sf_dir)
+    return comp.select(
+        "mention_id",
+        format_address_expr("full").alias("formatted_full"),
+        format_address_expr("short").alias("formatted_short"),
+        format_address_expr("minimal").alias("formatted_minimal"),
+    )
+
+
+# P: pairwise / validation
+
+
+def q_p3_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_bangladesh_address_parser_spark.functions.format import validate_cols
+
+    comp = _components_df(spark, sf_dir)
+    v = validate_cols(required=["district", "area", "postal_code"])
+    return comp.select(
+        "mention_id",
+        v["completeness"].alias("completeness"),
+        v["postal_format_ok"].alias("postal_format_ok"),
+        v["validation_score"].alias("validation_score"),
+        v["is_valid"].alias("is_valid"),
+    )
+
+
+def q_p1_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: blocked candidate pairs scored with the JVM levenshtein
+    backend (the 100 TB hot path of operators.scoring)."""
+    from ai_bangladesh_address_parser_spark.operators.scoring import score_pairs
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("cid"),
+        F.col("c_nationkey").cast("bigint").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_name").alias("cname"),
+    )
+    a = c.select(F.col("cid").alias("id_a"), "nk", "seg", F.col("cname").alias("name_a"))
+    b = c.select(F.col("cid").alias("id_b"), "nk", "seg", F.col("cname").alias("name_b"))
+    pairs = a.join(b, ["nk", "seg"]).filter(F.col("id_a") < F.col("id_b"))
+    scored = score_pairs(pairs, components=["name"], scorer="levenshtein", threshold=0.9)
+    return scored.select(
+        "id_a", "id_b", F.round("score", 6).alias("score"), "is_match"
+    )
+
+
+def q_p2_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: blocking-key explode + salted within-block self-join. hot_cap
+    forces every nation block through the salted path; the oracle is the
+    plain self-join — proving salting is pair-preserving."""
+    from ai_bangladesh_address_parser_spark.operators.blocking import (
+        blocking_keys,
+        candidate_pairs,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id"),
+        F.col("c_nationkey").cast("string").alias("postal_code"),
+    )
+    keys = blocking_keys(c, postal_col="postal_code", district_col=None, use_minhash=False)
+    return candidate_pairs(keys, hot_cap=40, salt_buckets=4).select("id_a", "id_b")
+
+
+def q_p4_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2→P4: large-star/small-star CC over a customer–supplier
+    bipartite edge sample (oracle: recursive-CTE reachability)."""
+    from ai_bangladesh_address_parser_spark.operators.cluster import connected_components
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 40 == 0)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.lpad(F.col("o_custkey").cast("string"), 6, "0")).alias("src"),
+            F.concat(F.lit("s:"), F.lpad(F.col("l_suppkey").cast("string"), 4, "0")).alias("dst"),
+        )
+        .distinct()
+    )
+    return connected_components(edges).select("node", "component")
+
+
+# A: aggregations
+
+
+def q_a1_resolve_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: evidence-weighted conflict resolution (agreement bonus /
+    weighted vote / conflict penalty / total-order tie-breaks) over an
+    evidence table derived from lineitem."""
+    from ai_bangladesh_address_parser_spark.operators.resolve import resolve_evidence
+
+    li = _t(spark, sf_dir, "lineitem")
+    ev = li.select(
+        F.col("l_orderkey").cast("string").alias("mention_id"),
+        F.when(F.col("l_linenumber") % 2 == 0, "house_number").otherwise("road").alias("component"),
+        F.col("l_returnflag").alias("value"),
+        F.lit(0.5).alias("confidence"),
+        F.lit("regex").alias("source"),
+    )
+    r = resolve_evidence(ev)
+    return r.select(
+        "mention_id", "component", "value",
+        F.round("confidence", 6).alias("confidence"),
+        "source", "conflict",
+        F.col("evidence_count").cast("bigint").alias("evidence_count"),
+    )
+
+
+def q_a3_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: top-frequency dimension stats (reference's district/area
+    frequency reports) over documents (lang, source)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("n_chars").alias("avg_chars"))
+        .select("lang", "source", "n", F.round("avg_chars", 6).alias("avg_chars"))
+        .orderBy(F.col("n").desc(), "lang", "source")
+        .limit(10)
+    )
+
+
+def q_a4_confidence_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: confidence banding + histogram (pseudo-confidence derived
+    from l_discount so the bands are populated)."""
+    from ai_bangladesh_address_parser_spark.functions.format import confidence_band_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    conf = F.round(0.5 + F.col("l_discount") * 5, 6)
+    return (
+        li.select(conf.alias("overall_confidence"))
+        .withColumn("band", confidence_band_expr())
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("band")
+    )
+
+
+def q_a5_gazetteer_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/S2: gazetteer aggregation — mode district + frequency-ranked
+    postal per area over synthesized labeled records."""
+    o = _t(spark, sf_dir, "orders")
+    area_arr = F.array(*[F.lit(a) for a, _ in _SYN_AREAS])
+    postal_arr = F.array(*[F.lit(p) for _, p in _SYN_AREAS])
+    idx = (F.col("o_custkey") % 5).cast("int") + 1
+    rec = o.select(
+        F.element_at(area_arr, idx).alias("area"),
+        F.lit("Dhaka").alias("district"),
+        # 20% of records carry the alternate postal 9999 → a real
+        # frequency ranking with a deterministic winner
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("9999"))
+        .otherwise(F.element_at(postal_arr, idx)).alias("postal_code"),
+    )
+    per_postal = rec.groupBy("area", "postal_code").agg(F.count(F.lit(1)).alias("cnt"))
+    top_postal = (
+        per_postal.groupBy("area")
+        .agg(F.max_by("postal_code", F.struct(F.col("cnt"), F.col("postal_code"))).alias("top_postal"),
+             F.sum("cnt").alias("n_records"))
+    )
+    return top_postal.select("area", "top_postal", "n_records").orderBy("area")
+
+
+# J: lookup / enrichment joins
+
+
+def q_j1_gazetteer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J3/J6: variant → canonical area → district/division/postal
+    broadcast-join enrichment chain."""
+    c = _t(spark, sf_dir, "customer")
+    variants = ["gulshan", "banani", "zigatola", "uttara", "mirpur", "bashundhara"]
+    var_arr = F.array(*[F.lit(v) for v in variants])
+    mention = c.select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id"),
+        F.element_at(var_arr, (F.col("c_custkey") % 6).cast("int") + 1).alias("area_token"),
+    )
+    av = F.broadcast(gz.area_variants_df(spark))
+    areas = F.broadcast(gz.areas_df(spark))
+    dd = F.broadcast(gz.district_division_df(spark))
+    return (
+        mention.join(av, mention.area_token == av.variant)
+        .join(areas, av.area == areas.area)
+        .join(dd, areas.district == dd.district)
+        .select(
+            "mention_id",
+            av.area.alias("area"),
+            areas.district.alias("district"),
+            dd.division.alias("division"),
+            areas.postal_code.alias("postal_code"),
+        )
+    )
+
+
+def q_j7_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: substring autocomplete, similarity-ranked, limit k."""
+    from ai_bangladesh_address_parser_spark.functions.format import suggest
+
+    names = gz.areas_df(spark).select(F.col("area").alias("name")).distinct()
+    return suggest(names, "an", k=5).select("name", "similarity")
+
+
+# D/X: corpus dedup + text analysis + similarity search
+
+
+def q_d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_bangladesh_address_parser_spark.operators.dedup import exact_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_duplicates(d).select(
+        "content_hash", "n_docs", F.col("keep_id").cast("bigint").alias("keep_id")
+    )
+
+
+def q_d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_bangladesh_address_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    p = ngram_jaccard_pairs(d, shingle_k=3, threshold=0.2, max_shingle_freq=None)
+    return p.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures, long format (portable md5-derived hashes)."""
+    from ai_bangladesh_address_parser_spark.operators.dedup import minhash_sig_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(minhash_sig_expr("text", n_hashes=4, shingle_k=3)).alias("seed", "minhash")
+    ).select("doc_id", F.col("seed").cast("bigint").alias("seed"), "minhash")
+
+
+def q_d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_bangladesh_address_parser_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d).select("doc_id", "simhash")
+
+
+def q_x1_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact baseline of the ANN pair)."""
+    from ai_bangladesh_address_parser_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return brute_force_topk(e, q, k=3).select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_x2_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_bangladesh_address_parser_spark.operators.text_analysis import langid_cols
+
+    d = _decorated_docs(spark, sf_dir)
+    cols = langid_cols("text")
+    return d.select(
+        "doc_id",
+        cols["pred_lang"].alias("pred_lang"),
+        cols["en_stopword_types"].cast("bigint").alias("en_stopword_types"),
+        cols["bangla_chars"].cast("bigint").alias("bangla_chars"),
+    )
+
+
+def q_x3_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_bangladesh_address_parser_spark.operators.text_analysis import quality_cols
+
+    d = _t(spark, sf_dir, "documents")
+    cols = quality_cols("text")
+    return d.select(
+        "doc_id",
+        cols["n_chars"].cast("bigint").alias("n_chars"),
+        cols["n_tokens"].cast("bigint").alias("n_tokens"),
+        cols["punct_ratio"].alias("punct_ratio"),
+        cols["stopword_ratio"].alias("stopword_ratio"),
+        cols["quality"].alias("quality"),
+    )
+
+
+def q_x4_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_bangladesh_address_parser_spark.operators.text_analysis import token_count_cols
+
+    d = _t(spark, sf_dir, "documents")
+    cols = token_count_cols("text")
+    return d.select(
+        "doc_id",
+        cols["ws_tokens"].cast("bigint").alias("ws_tokens"),
+        cols["bpe_tokens"].cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def q_x5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_bangladesh_address_parser_spark.operators.text_analysis import fingerprint_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_expr("text").alias("fingerprint"))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "s1_scan_pushdown": q_s1_scan_pushdown,
+        "t1_script_detect": q_t1_script_detect,
+        "t2_normalize": q_t2_normalize,
+        "t3_regex_extract": q_t3_regex_extract,
+        "t7_district_vocab": q_t7_district_vocab,
+        "t11_format": q_t11_format,
+        "p1_score_pairs": q_p1_score_pairs,
+        "p2_candidate_pairs": q_p2_candidate_pairs,
+        "p3_validate": q_p3_validate,
+        "p4_connected_components": q_p4_connected_components,
+        "a1_resolve_conflict": q_a1_resolve_conflict,
+        "a3_batch_stats": q_a3_batch_stats,
+        "a4_confidence_histogram": q_a4_confidence_histogram,
+        "a5_gazetteer_build": q_a5_gazetteer_build,
+        "j1_gazetteer_enrich": q_j1_gazetteer_enrich,
+        "j7_suggest": q_j7_suggest,
+        "d1_exact_dedup": q_d1_exact_dedup,
+        "d2_ngram_jaccard": q_d2_ngram_jaccard,
+        "d3_minhash_lsh": q_d3_minhash_lsh,
+        "d4_simhash": q_d4_simhash,
+        "x1_ann_topk": q_x1_ann_topk,
+        "x2_langid": q_x2_langid,
+        "x3_quality": q_x3_quality,
+        "x4_token_count": q_x4_token_count,
+        "x5_fingerprint": q_x5_fingerprint,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL over the pre-registered views)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    dv_values = _values_sql(sorted(set(gz.DISTRICT_VARIANTS)), ["variant", "district"])
+    av_values = _values_sql(sorted(set(gz.AREA_VARIANTS)), ["variant", "area"])
+    areas_values = _values_sql(gz.AREAS, ["area", "district", "postal_code"])
+    dd_values = _values_sql(gz.DISTRICT_DIVISION, ["district", "division"])
+
+    # shared fragments
+    toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9ঀ-৿]+'), t -> t != '')"
+    en_stop = "('the','a','an','and','or','of','in','on','to','is','are','was','for','with','that','this','it','as','at','by','be')"
+
+    shingles = f"""
+      select doc_id, toks,
+             case when len(toks) >= 3
+                  then list_distinct(list_transform(generate_series(1, len(toks)-2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  else [array_to_string(toks, ' ')] end as shs
+      from (select doc_id, {toks} as toks from documents)
     """
-    return {}
+
+    normalize_chain = """
+      trim(regexp_replace(regexp_replace(
+        replace(replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            replace(replace(
+            replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+            replace(replace(replace(replace(replace(replace(replace(replace(replace(
+            replace(replace(replace(replace(replace(replace(replace(replace(
+            translate(txt, '০১২৩৪৫৬৭৮৯', '0123456789'),
+            'ঢাকা','Dhaka'), 'চট্টগ্রাম','Chattogram'), 'চিটাগাং','Chattogram'),
+            'সিলেট','Sylhet'), 'রাজশাহী','Rajshahi'), 'খুলনা','Khulna'),
+            'বরিশাল','Barisal'), 'রংপুর','Rangpur'),
+            'ময়মনসিংহ','Mymensingh'), 'বনানী','Banani'), 'গুলশান','Gulshan'),
+            'ধানমন্ডি','Dhanmondi'), 'উত্তরা','Uttara'), 'মিরপুর','Mirpur'),
+            'হালিশহর','Halishahar'), 'আগ্রাবাদ','Agrabad'), 'বশুন্ধরা','Bashundhara'),
+            'রোড','Road'), 'বাড়ি','House'), 'বাসা','House'), 'বাড়ী','House'),
+            'ফ্ল্যাট','Flat'), 'তলা','Floor'), 'ব্লক','Block'), 'লেন','Lane'),
+            'গলি','Lane'), 'নং','No'), 'নাম্বার','No'),
+            '"',''), '''',''),
+          '\\bchittagong\\b','Chattogram','gi'), '\\bchittagang\\b','Chattogram','gi'),
+          '\\bctg\\b','Chattogram','gi'), '\\bdaka\\b','Dhaka','gi'),
+          '\\bdhakka\\b','Dhaka','gi'), '\\braod\\b','Road','gi'),
+          '\\bhose\\b','House','gi'), '\\bhause\\b','House','gi'),
+        '#',' No '), ':',' '),
+        '\\s+',' ','g'), '\\s*,\\s*',', ','g'))
+    """
+
+    return {
+        "s1_scan_pushdown": """
+            select l_orderkey, l_linenumber, l_quantity, l_returnflag
+            from lineitem
+            where l_shipdate >= '1995-06-01' and l_quantity < 5
+        """,
+        "t1_script_detect": f"""
+            with d as (select doc_id, {_DECOR_SQL} as text from documents),
+            m as (select doc_id,
+                         cast(length(text) as double) as total,
+                         cast(length(text) - length(regexp_replace(text, '[ঀ-৿]', '', 'g')) as double) as bn,
+                         cast(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) as double) as en
+                  from d)
+            select doc_id,
+                   round(case when total > 0 then bn/total else 0 end, 6) as bangla_ratio,
+                   round(case when total > 0 then en/total else 0 end, 6) as english_ratio,
+                   case when total = 0 then 'neutral'
+                        when bn/total > 0.3 and en/total > 0.3 then 'mixed'
+                        when bn/total > en/total then 'bn' else 'en' end as primary_script
+            from m
+        """,
+        "t2_normalize": f"""
+            with d as (select doc_id, {_DECOR_SQL} as txt from documents)
+            select doc_id, {normalize_chain} as normalized from d
+        """,
+        "t3_regex_extract": f"""
+            with comp as ({_COMP_SQL}),
+            d as (select mention_id,
+                         'House ' || house_number || ', Road ' || road || ', ' ||
+                         area || ', ' || district || '-' || postal_code as addr
+                  from comp)
+            select mention_id, addr,
+                   regexp_extract(addr, '(?i)house[ ]+(?:no[ ]+)?([0-9]+)', 1) as x_house,
+                   regexp_extract(addr, '(?i)road[ ]+(?:no[ ]+)?([0-9]+)', 1) as x_road,
+                   regexp_extract(addr, '[A-Za-z]+-([0-9]{{4}})', 1) as x_postal,
+                   regexp_extract(addr, '(?i)(?:flat|apt)[ ]+([A-Za-z0-9]+)', 1) as x_flat
+            from d
+        """,
+        "t7_district_vocab": f"""
+            with m as (
+              select lpad(cast(c_custkey as varchar),6,'0') as mention_id,
+                     'House ' || cast(c_custkey % 99 + 1 as varchar) || ', ' ||
+                     (case c_custkey % 6 when 0 then 'dhaka' when 1 then 'chittagong'
+                        when 2 then 'ctg' when 3 then 'jessore' when 4 then 'bogra'
+                        else 'barishal' end) as mtext
+              from customer),
+            pl as (select mention_id, regexp_split_to_array(mtext, ',\\s*') as parts from m),
+            toks as (
+              select mention_id, i - 1 as part_idx, len(parts) as n_parts,
+                     lower(trim(parts[i])) as key
+              from pl, unnest(generate_series(1, len(parts))) as g(i)),
+            dv as (select * from {dv_values})
+            select mention_id, district,
+                   case when max(case when part_idx = n_parts - 1 then 1 else 0 end) = 1
+                        then 0.95 else 0.90 end as confidence
+            from toks join dv on toks.key = dv.variant
+            group by mention_id, district
+        """,
+        "t11_format": f"""
+            with comp as ({_COMP_SQL})
+            select mention_id,
+                   concat_ws(', ', 'House ' || house_number, 'Road ' || road,
+                             area, district, division, postal_code) as formatted_full,
+                   concat_ws(', ', 'House ' || house_number, 'Road ' || road, area) as formatted_short,
+                   concat_ws(', ', area, district) as formatted_minimal
+            from comp
+        """,
+        "p1_score_pairs": """
+            with c as (select lpad(cast(c_custkey as varchar),6,'0') as cid,
+                              c_nationkey as nk, c_mktsegment as seg,
+                              lower(trim(c_name)) as nm
+                       from customer),
+            pairs as (select a.cid as id_a, b.cid as id_b, a.nm as na, b.nm as nb
+                      from c a join c b on a.nk = b.nk and a.seg = b.seg and a.cid < b.cid),
+            s as (select id_a, id_b,
+                         1.0 - cast(levenshtein(na, nb) as double)
+                             / greatest(length(na), length(nb)) as sim
+                  from pairs)
+            select id_a, id_b, round(sim, 6) as score, sim >= 0.9 as is_match from s
+        """,
+        "p2_candidate_pairs": """
+            with c as (select lpad(cast(c_custkey as varchar),6,'0') as cid, c_nationkey as nk
+                       from customer)
+            select distinct a.cid as id_a, b.cid as id_b
+            from c a join c b on a.nk = b.nk and a.cid < b.cid
+        """,
+        "p3_validate": f"""
+            with comp as ({_COMP_SQL}),
+            f as (select mention_id,
+                         ((case when house_number != '' then 1 else 0 end)
+                          + (case when road != '' then 1 else 0 end)
+                          + (case when area != '' then 1 else 0 end)
+                          + (case when district != '' then 1 else 0 end)
+                          + (case when division != '' then 1 else 0 end)
+                          + (case when postal_code != '' then 1 else 0 end)
+                          + (case when flat_number != '' then 1 else 0 end)
+                          + (case when floor_number != '' then 1 else 0 end)
+                          + (case when block_number != '' then 1 else 0 end)) / 9.0 as completeness,
+                         ((case when district != '' then 1 else 0 end)
+                          + (case when area != '' then 1 else 0 end)
+                          + (case when postal_code != '' then 1 else 0 end)) / 3.0 as req_score,
+                         (postal_code = '' or regexp_matches(postal_code, '^[0-9]{{4}}$')) as postal_format_ok
+                  from comp)
+            select mention_id,
+                   round(completeness, 6) as completeness,
+                   postal_format_ok,
+                   round(req_score * 0.7 + completeness * 0.3, 6) as validation_score,
+                   (round(req_score * 0.7 + completeness * 0.3, 6) >= 0.7)
+                     and postal_format_ok as is_valid
+            from f
+        """,
+        "p4_connected_components": """
+            with recursive base as (
+              select distinct 'c:' || lpad(cast(o_custkey as varchar),6,'0') as src,
+                              's:' || lpad(cast(l_suppkey as varchar),4,'0') as dst
+              from orders join lineitem on l_orderkey = o_orderkey
+              where o_orderkey % 40 = 0 and l_linenumber = 1),
+            e as (select src as a, dst as b from base
+                  union select dst, src from base),
+            reach(n, m) as (
+              select a, b from e
+              union select a, a from e
+              union select r.n, e.b from reach r join e on r.m = e.a)
+            select n as node, min(m) as component from reach group by n
+        """,
+        "a1_resolve_conflict": """
+            with ev as (
+              select cast(l_orderkey as varchar) as mention_id,
+                     case when l_linenumber % 2 = 0 then 'house_number' else 'road' end as component,
+                     l_returnflag as value, 0.5 as confidence, 'regex' as source
+              from lineitem),
+            per_value as (
+              select mention_id, component, value,
+                     sum(confidence * 1.0) as vote,
+                     max(confidence) as best_conf,
+                     max(source) as best_source,
+                     count(*) as n_ev,
+                     sum(confidence) as sum_conf
+              from ev group by mention_id, component, value),
+            win as (
+              select *,
+                     row_number() over (partition by mention_id, component
+                                        order by vote desc, value asc) as rn,
+                     count(*) over (partition by mention_id, component) as n_values,
+                     sum(n_ev) over (partition by mention_id, component) as total_ev,
+                     sum(sum_conf) over (partition by mention_id, component) as total_conf
+              from per_value)
+            select mention_id, component, value,
+                   round(case when n_values = 1
+                              then least(total_conf / total_ev * 1.05, 0.99)
+                              else best_conf * 0.90 end, 6) as confidence,
+                   best_source as source,
+                   n_values > 1 as conflict,
+                   total_ev as evidence_count
+            from win where rn = 1
+        """,
+        "a3_batch_stats": """
+            select lang, source, count(*) as n, round(avg(n_chars), 6) as avg_chars
+            from documents
+            group by lang, source
+            order by n desc, lang, source
+            limit 10
+        """,
+        "a4_confidence_histogram": """
+            with c as (select round(0.5 + l_discount * 5, 6) as conf from lineitem)
+            select case when conf is null or conf <= 0 then 'band_none'
+                        when conf >= 0.95 then 'band_95_100'
+                        when conf >= 0.90 then 'band_90_95'
+                        when conf >= 0.85 then 'band_85_90'
+                        when conf >= 0.80 then 'band_80_85'
+                        when conf >= 0.70 then 'band_70_80'
+                        when conf >= 0.60 then 'band_60_70'
+                        when conf >= 0.50 then 'band_50_60'
+                        else 'band_00_50' end as band,
+                   count(*) as n
+            from c group by 1 order by band
+        """,
+        "a5_gazetteer_build": f"""
+            with rec as (
+              select (case o_custkey % 5 when 0 then 'Gulshan' when 1 then 'Banani'
+                       when 2 then 'Dhanmondi' when 3 then 'Uttara' else 'Mirpur' end) as area,
+                     case when o_orderkey % 5 = 0 then '9999'
+                          else (case o_custkey % 5 when 0 then '1212' when 1 then '1213'
+                                 when 2 then '1209' when 3 then '1230' else '1216' end) end as postal_code
+              from orders),
+            per_postal as (select area, postal_code, count(*) as cnt
+                           from rec group by area, postal_code),
+            ranked as (select *, row_number() over (partition by area
+                              order by cnt desc, postal_code desc) as rn,
+                              sum(cnt) over (partition by area) as n_records
+                       from per_postal)
+            select area, postal_code as top_postal, n_records
+            from ranked where rn = 1 order by area
+        """,
+        "j1_gazetteer_enrich": f"""
+            with m as (
+              select lpad(cast(c_custkey as varchar),6,'0') as mention_id,
+                     (case c_custkey % 6 when 0 then 'gulshan' when 1 then 'banani'
+                       when 2 then 'zigatola' when 3 then 'uttara' when 4 then 'mirpur'
+                       else 'bashundhara' end) as area_token
+              from customer),
+            av as (select * from {av_values}),
+            areas as (select * from {areas_values}),
+            dd as (select * from {dd_values})
+            select m.mention_id, av.area, areas.district, dd.division, areas.postal_code
+            from m join av on m.area_token = av.variant
+                   join areas on av.area = areas.area
+                   join dd on areas.district = dd.district
+        """,
+        "j7_suggest": f"""
+            with names as (select distinct area as name from {areas_values}),
+            s as (select name,
+                         round(1.0 - cast(levenshtein(lower(name), 'an') as double)
+                               / greatest(length(name), 2), 6) as similarity
+                  from names where lower(name) like '%an%')
+            select name, similarity from s
+            order by similarity desc, name limit 5
+        """,
+        "d1_exact_dedup": """
+            select md5(text) as content_hash, count(*) as n_docs, min(doc_id) as keep_id
+            from documents group by md5(text)
+        """,
+        "d2_ngram_jaccard": f"""
+            with sh as ({shingles}),
+            ex as (select doc_id, unnest(shs) as s from sh),
+            sizes as (select doc_id, count(*) as sz from ex group by doc_id),
+            inter as (select a.doc_id as id_a, b.doc_id as id_b, count(*) as i
+                      from ex a join ex b on a.s = b.s and a.doc_id < b.doc_id
+                      group by a.doc_id, b.doc_id)
+            select id_a, id_b,
+                   round(cast(i as double) / (sa.sz + sb.sz - i), 6) as jaccard
+            from inter
+              join sizes sa on sa.doc_id = id_a
+              join sizes sb on sb.doc_id = id_b
+            where cast(i as double) / (sa.sz + sb.sz - i) >= 0.2
+        """,
+        "d3_minhash_lsh": f"""
+            with sh as ({shingles}),
+            ex as (select doc_id, unnest(shs) as s from sh),
+            seeds as (select unnest(generate_series(0, 3)) as seed),
+            h as (select doc_id, seed,
+                         cast(('0x' || substr(md5(cast(seed as varchar) || '|' || s), 1, 14)) as bigint) as hv
+                  from ex cross join seeds)
+            select doc_id, seed, min(hv) as minhash
+            from h group by doc_id, seed
+        """,
+        "d4_simhash": f"""
+            with tk as (select doc_id, unnest(list_distinct({toks})) as tok from documents),
+            th as (select doc_id,
+                          cast(('0x' || substr(md5(tok), 1, 14)) as bigint) as h
+                   from tk),
+            bits as (select unnest(generate_series(0, 55)) as bit),
+            votes as (select doc_id, bit,
+                             sum(case when (h >> bit) & 1 = 1 then 1 else -1 end) as s
+                      from th cross join bits group by doc_id, bit)
+            select doc_id,
+                   sum(case when s > 0 then (1::bigint << bit) else 0 end) as simhash
+            from votes group by doc_id
+        """,
+        "x1_ann_topk": """
+            with q as (select vec_id as query_id, embedding as qv from embeddings where vec_id < 10),
+            c as (select vec_id as neighbor_id, embedding as cv from embeddings),
+            s as (select query_id, neighbor_id,
+                         list_cosine_similarity(cast(qv as double[]), cast(cv as double[])) as cosine
+                  from q cross join c where neighbor_id != query_id),
+            r as (select query_id, neighbor_id,
+                         row_number() over (partition by query_id
+                                            order by cosine desc, neighbor_id) as rank
+                  from s)
+            select query_id, neighbor_id, rank from r where rank <= 3
+        """,
+        "x2_langid": f"""
+            with d as (select doc_id, {_DECOR_SQL} as text from documents),
+            m as (select doc_id,
+                         length(text) as total,
+                         length(text) - length(regexp_replace(text, '[ঀ-৿]', '', 'g')) as bn,
+                         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) as ascii_a,
+                         len(list_filter(list_distinct({toks}), t -> t in {en_stop})) as en_hits,
+                         len(list_filter(list_distinct({toks}),
+                             t -> t in ('এবং','ও','এই','যে','করে','থেকে','জন্য','সাথে','হয়','না'))) as bn_hits
+                  from d)
+            select doc_id,
+                   case when total = 0 then 'und'
+                        when bn > ascii_a and bn > 0 then 'bn'
+                        when ascii_a > 0 and (en_hits > 0 or bn_hits = 0) then 'en'
+                        else 'und' end as pred_lang,
+                   en_hits as en_stopword_types,
+                   bn as bangla_chars
+            from m
+        """,
+        "x3_quality": f"""
+            with m as (
+              select doc_id,
+                     length(text) as n_chars,
+                     {toks} as toks,
+                     length(text) - length(regexp_replace(text,
+                        '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) as n_punct
+              from documents),
+            f as (select doc_id, n_chars,
+                         len(toks) as n_tokens,
+                         case when n_chars > 0 then cast(n_punct as double)/n_chars else 0 end as punct_ratio,
+                         case when len(toks) > 0
+                              then cast(len(list_filter(toks, t -> t in {en_stop})) as double)/len(toks)
+                              else 0 end as stopword_ratio,
+                         case when len(toks) > 0
+                              then cast(list_sum(list_transform(toks, t -> length(t))) as double)/len(toks)
+                              else 0 end as mean_tok_len
+                  from m)
+            select doc_id, n_chars, n_tokens,
+                   round(punct_ratio, 6) as punct_ratio,
+                   round(stopword_ratio, 6) as stopword_ratio,
+                   round(least(n_chars/500.0, 1.0)*0.3
+                         + least(stopword_ratio/0.2, 1.0)*0.3
+                         + greatest(1.0 - punct_ratio*5, 0.0)*0.2
+                         + (case when mean_tok_len >= 3 and mean_tok_len <= 10
+                                 then 1.0 else 0.5 end)*0.2, 6) as quality
+            from f
+        """,
+        "x4_token_count": """
+            select doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')) as ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) as bpe_tokens
+            from documents
+        """,
+        "x5_fingerprint": f"""
+            select doc_id,
+                   md5(array_to_string(list_sort(list_distinct({toks})), ' ')) as fingerprint
+            from documents
+        """,
+    }

@@ -148,8 +148,10 @@ def simhash(
             "h",
         )
         .withColumn(
+            # SQL-parsed: the PySpark shiftright wrapper only takes a
+            # literal int offset, the SQL function takes any expression
             "vote",
-            F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            F.when(F.expr("shiftright(h, bit) % 2") == 1, F.lit(1)).otherwise(F.lit(-1)),
         )
         .groupBy("_id", "bit")
         .agg(F.sum("vote").alias("s"))
@@ -158,7 +160,7 @@ def simhash(
         votes.groupBy("_id")
         .agg(
             F.sum(
-                F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("bit"))).otherwise(0)
+                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(F.lit(0))
             ).alias("simhash")
         )
         .select(F.col("_id").alias(id_col), "simhash")

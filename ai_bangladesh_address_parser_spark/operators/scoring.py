@@ -91,22 +91,27 @@ def score_pairs(
         df = df.withColumn(f"sim_{comp}", sim(a, b))
         sim_cols.append(comp)
 
-    weighted = sum(
-        (F.coalesce(F.when(F.col(f"sim_{c}").isNotNull(), F.lit(w) * F.col(f"sim_{c}")), F.lit(0.0)))
-        for c, w in PAIR_WEIGHTS.items() if c in components
-    )
-    total_w = sum(
-        (F.when(F.col(f"sim_{c}").isNotNull(), F.lit(w)).otherwise(F.lit(0.0)))
-        for c, w in PAIR_WEIGHTS.items() if c in components
-    )
     n_sims = sum((F.when(F.col(f"sim_{c}").isNotNull(), 1).otherwise(0)) for c in sim_cols)
     sum_sims = sum((F.coalesce(F.col(f"sim_{c}"), F.lit(0.0))) for c in sim_cols)
     avg_sim = F.when(n_sims > 0, sum_sims / n_sims).otherwise(F.lit(0.0))
 
-    df = df.withColumn(
-        "score",
-        F.when(total_w > 0, weighted / total_w).otherwise(avg_sim),
-    ).withColumn("is_match", F.col("score") >= F.lit(threshold))
+    weighted_comps = [(c, w) for c, w in PAIR_WEIGHTS.items() if c in components]
+    if weighted_comps:
+        weighted = sum(
+            (F.coalesce(F.when(F.col(f"sim_{c}").isNotNull(), F.lit(w) * F.col(f"sim_{c}")), F.lit(0.0)))
+            for c, w in weighted_comps
+        )
+        total_w = sum(
+            (F.when(F.col(f"sim_{c}").isNotNull(), F.lit(w)).otherwise(F.lit(0.0)))
+            for c, w in weighted_comps
+        )
+        score = F.when(total_w > 0, weighted / total_w).otherwise(avg_sim)
+    else:
+        # no weighted component selected → reference falls back to the
+        # unweighted mean (address_utils.py:189-194)
+        score = avg_sim
+
+    df = df.withColumn("score", score).withColumn("is_match", F.col("score") >= F.lit(threshold))
     return df
 
 
