@@ -187,7 +187,7 @@ def simhash_near_pairs(
         F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk"),
     ).withColumn(
         "band_val",
-        F.shiftright(F.col("simhash"), F.col("blk") * width).bitwiseAND(F.lit(mask)),
+        F.expr(f"shiftright(simhash, blk * {width}) & {mask}"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (

@@ -105,12 +105,11 @@ def lsh_topk(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), bucket)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), bucket)
     if multiprobe:
-        probes = F.concat(
-            F.array(F.col("bucket")),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                lambda p: F.col("bucket").bitwiseXOR(F.shiftleft(F.lit(1), p)),
-            ),
+        # SQL-parsed (shiftleft with a non-literal offset has no Column
+        # API): probe own bucket + all buckets at Hamming distance 1
+        probes = F.expr(
+            f"concat(array(bucket), transform(sequence(0, {n_planes - 1}), "
+            f"p -> bucket ^ shiftleft(1, p)))"
         )
         q = q.withColumn("bucket", F.explode(probes))
     scored = (

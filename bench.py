@@ -1,0 +1,219 @@
+"""Benchmark driver.
+
+Default mode: runs the headline linkage pipeline + corpus operators at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-stage sec...}, "sf": ..., extras...}
+
+``--scaling`` mode: evidences the north rule's two-cluster-size
+criterion in-sandbox — the same scoring job (the metric named by
+BASELINE.json: candidate-pairs scored/sec) runs at local[8] and
+local[32] over identical parquet input in fresh JVMs; reports
+throughput at both plus scaling efficiency = (thr_4N / thr_N) / 4.
+
+``--score-bench CPUS PAIRS_DIR`` is the single-measurement child
+process used by --scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def _spark(cpus: int):
+    from ai_bangladesh_address_parser_spark.session import get_spark
+
+    return get_spark("abap-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+
+
+def _corpus(spark, sf_dir: str, n_pages: int):
+    from pyspark.sql import functions as F
+
+    from ai_bangladesh_address_parser_spark.sources.pages import synth_pages
+
+    pages, truth = synth_pages(spark, n_pages=n_pages, n_entities=270)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    neg = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    return pages.unionByName(neg), truth
+
+
+def run_bench() -> dict:
+    from pyspark.sql import functions as F
+
+    from ai_bangladesh_address_parser_spark.operators.dedup import (
+        minhash_band_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+    from ai_bangladesh_address_parser_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+    from ai_bangladesh_address_parser_spark.plans.pipeline import LinkagePlan, pairwise_f1
+
+    spark = _spark(CPUS)
+    sf = _sf_of(SF_DIR)
+    n_pages = max(2000, int(60000 * sf))  # sf0.1 → 6,000 address pages
+    corpus, truth = _corpus(spark, SF_DIR, n_pages)
+
+    times: dict[str, float] = {}
+    extras: dict = {}
+
+    plan = LinkagePlan(spark, scorer="levenshtein")
+    t = time.time()
+    wide = plan.extract(corpus)
+    n_mentions = wide.count()
+    times["s1_extract"] = round(time.time() - t, 2)
+
+    t = time.time()
+    pairs = plan.block(wide).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    times["s2_block"] = round(time.time() - t, 2)
+
+    t = time.time()
+    edges = plan.score(pairs, wide)
+    n_edges = edges.count()
+    times["s3_score"] = round(time.time() - t, 2)
+    extras["candidate_pairs"] = n_pairs
+    extras["pairs_scored_per_sec"] = round(n_pairs / max(times["s3_score"], 1e-9), 1)
+
+    t = time.time()
+    ents = plan.cluster(wide, edges)
+    n_ents = ents.select("entity_id").distinct().count()
+    times["s4_cluster"] = round(time.time() - t, 2)
+
+    f1 = pairwise_f1(ents.filter(~F.col("mention_id").startswith("doc://")), truth)
+    extras["pairwise_f1"] = round(f1["f1"], 6)
+    extras["n_mentions"] = n_mentions
+    extras["n_entities"] = n_ents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t = time.time()
+    minhash_band_pairs(docs).count()
+    times["dedup_minhash_lsh"] = round(time.time() - t, 2)
+
+    t = time.time()
+    simhash_near_pairs(docs).count()
+    times["dedup_simhash"] = round(time.time() - t, 2)
+
+    t = time.time()
+    ngram_jaccard_pairs(docs, threshold=0.5).count()
+    times["dedup_ngram_jaccard"] = round(time.time() - t, 2)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)  # ~2% as queries
+    t = time.time()
+    brute_force_topk(emb, q, k=10).count()
+    times["ann_brute_force"] = round(time.time() - t, 2)
+
+    t = time.time()
+    lsh_topk(emb, q, k=10).count()
+    times["ann_lsh"] = round(time.time() - t, 2)
+
+    total = round(sum(times.values()), 2)
+    return {
+        "metric": "linkage_e2e_plus_corpus_ops_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        **extras,
+    }
+
+
+# --- scaling mode ----------------------------------------------------------
+
+def prepare_scoring_input(spark, sf_dir: str, out_dir: str, n_pages: int = 20000) -> int:
+    """Materialize the scored-pair input (pair ids + both sides'
+    components) once; the child runs only the scoring job over it."""
+    from ai_bangladesh_address_parser_spark.operators.scoring import attach_pair_components
+    from ai_bangladesh_address_parser_spark.plans.pipeline import LinkagePlan
+    from ai_bangladesh_address_parser_spark.sources.pages import synth_pages
+
+    pages, _ = synth_pages(spark, n_pages=n_pages, n_entities=270)
+    plan = LinkagePlan(spark, use_minhash=False)
+    wide = plan.extract(pages)
+    pairs = plan.block(wide)
+    ready = attach_pair_components(pairs, wide)
+    ready.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir).count()
+
+
+def score_bench(cpus: int, pairs_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from ai_bangladesh_address_parser_spark.operators.scoring import score_pairs
+
+    spark = _spark(cpus)
+    pairs = spark.read.parquet(pairs_dir)
+    n = pairs.count()  # warm: JVM up, file listing done, pages in page cache
+    t = time.time()
+    scored = score_pairs(pairs, scorer="levenshtein")
+    n_match = scored.filter(F.col("is_match")).count()
+    dt = time.time() - t
+    return {"cpus": cpus, "pairs": n, "matches": n_match,
+            "seconds": round(dt, 2), "pairs_per_sec": round(n / dt, 1)}
+
+
+def run_scaling() -> dict:
+    spark = _spark(CPUS)
+    tmp = tempfile.mkdtemp(prefix="abap_scaling_")
+    pairs_dir = os.path.join(tmp, "pairs")
+    n = prepare_scoring_input(spark, SF_DIR, pairs_dir)
+    spark.stop()
+
+    results = {}
+    for cpus in (8, 32):  # N and 4N cores, fresh JVM each
+        out = subprocess.run(
+            [sys.executable, __file__, "--score-bench", str(cpus), pairs_dir],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[f"local[{cpus}]"] = json.loads(line)
+
+    thr8 = results["local[8]"]["pairs_per_sec"]
+    thr32 = results["local[32]"]["pairs_per_sec"]
+    eff = round(thr32 / thr8 / 4.0, 3)
+    return {
+        "metric": "scoring_scaling_efficiency_8_to_32_cores",
+        "value": eff,
+        "unit": "ratio",
+        "pairs": n,
+        "runs": results,
+        "note": "strong scaling, identical input, fresh JVM per size",
+    }
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--score-bench":
+        print(json.dumps(score_bench(int(sys.argv[2]), sys.argv[3])))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,139 @@
+"""Tests for the corpus-pipeline operator families: dedup, similarity
+search, text analysis, multimodal plumbing, formatting/validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_bangladesh_address_parser_spark.operators import dedup, similarity
+from ai_bangladesh_address_parser_spark.operators.multimodal import (
+    attach_media_meta,
+    extract_media_features,
+    frame_sample_plan,
+)
+from ai_bangladesh_address_parser_spark.operators.text_analysis import (
+    fingerprint_expr,
+    langid_cols,
+    quality_cols,
+    token_count_cols,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup of 0
+        (3, "spark shuffles partitions across the cluster for wide joins"),
+        (4, "ঢাকা শহরের রাস্তা এবং এলাকা নিয়ে এই লেখা"),  # bangla
+        (5, "completely different content about databases and storage engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert sum(g.n_docs for g in groups) == 6
+    dup = [g for g in groups if g.n_docs == 2]
+    assert len(dup) == 1 and dup[0].keep_id == 0
+    kept = dedup.drop_exact_duplicates(docs)
+    assert kept.count() == 5
+    assert {r.doc_id for r in kept.collect()} == {0, 2, 3, 4, 5}
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0          # exact dup
+    assert 0.5 <= pairs[(0, 2)] < 1.0    # near dup (one token differs)
+    assert (0, 3) not in pairs and (0, 5) not in pairs
+
+
+def test_minhash_lsh_recall_and_determinism(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_band_pairs(docs).collect()}
+    assert (0, 1) in pairs          # identical docs always collide
+    assert (0, 2) in pairs          # high-jaccard near dup lands in ≥1 band
+    assert (3, 5) not in pairs      # unrelated docs don't
+    again = {(r.id_a, r.id_b) for r in dedup.minhash_band_pairs(docs.repartition(7)).collect()}
+    assert pairs == again           # partitioning-independent
+
+
+def test_simhash_near_pairs(spark, docs):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert all(0 <= v < (1 << 56) for v in sh.values())
+    assert sh[0] == sh[1]
+    ham = bin(sh[0] ^ sh[2]).count("1")
+    assert 0 < ham <= 12            # near dup: small but nonzero distance
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_near_pairs(docs, max_hamming=12).collect()}
+    assert pairs[(0, 1)] == 0 and (0, 2) in pairs
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    import math
+
+    # deterministic synthetic embeddings: 3 well-separated direction
+    # clusters on the unit circle in a 8-dim space + small offsets
+    rows = []
+    for i in range(90):
+        c = i % 3
+        theta = c * 2.1 + (i // 3) * 0.01
+        vec = [math.cos(theta), math.sin(theta)] + [((i * 7 + d) % 5 - 2) * 0.01 for d in range(6)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").cache()
+    q = emb.filter(F.col("vec_id") < 6)
+    bf = {(r.query_id, r.neighbor_id) for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    ann = {(r.query_id, r.neighbor_id) for r in similarity.lsh_topk(emb, q, k=5, n_planes=6).collect()}
+    recall = len(bf & ann) / len(bf)
+    assert recall >= 0.8, recall
+    nd = similarity.embedding_near_dup_pairs(emb, threshold=0.99)
+    assert nd.count() > 0  # same-cluster neighbors are near-dups
+
+
+def test_text_analysis_cols(spark, docs):
+    out = docs.select(
+        "doc_id",
+        langid_cols("text")["pred_lang"].alias("lang"),
+        quality_cols("text")["quality"].alias("q"),
+        token_count_cols("text")["ws_tokens"].alias("ws"),
+        fingerprint_expr("text").alias("fp"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[0].lang == "en" and by_id[4].lang == "bn"
+    assert by_id[0].fp == by_id[1].fp and by_id[0].fp != by_id[2].fp
+    assert by_id[0].ws == 13
+    assert all(0.0 <= r.q <= 1.0 for r in out)
+
+
+def test_multimodal_plumbing(spark):
+    base = spark.range(0, 20).select(
+        F.col("id"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id").cast("string")), "UTF-8").alias("blob"),
+    )
+    media = attach_media_meta(base, "id", "blob", kind="image", content_type="application/octet-stream")
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_media_features(media, decoder="fake", dim=16).collect()
+    assert len(feats) == 20
+    f0 = [r for r in feats if r.media_id == "0"][0]
+    assert len(f0.feature) == 16 and abs(sum(f0.feature) - 1.0) < 1e-5
+    assert f0.kind == "image" and f0.n_bytes == len(b"payload-0")
+    # determinism across partitioning
+    feats2 = extract_media_features(media.repartition(5), decoder="fake").collect()
+    assert {r.media_id: r.checksum for r in feats} == {r.media_id: r.checksum for r in feats2}
+    with pytest.raises(NotImplementedError):
+        extract_media_features(media, decoder="real")
+    frames = frame_sample_plan(media, every_n_bytes=4, max_frames=3)
+    f = frames.filter(F.col("media_id") == "10").collect()
+    assert [r.byte_offset for r in f] == [0, 4, 8]
+
+
+def test_write_banded_sink(spark, tmp_path):
+    from ai_bangladesh_address_parser_spark.sources.pages import write_banded
+
+    df = spark.createDataFrame(
+        [(1, 0.97), (2, 0.91), (3, 0.55), (4, None)],
+        "id bigint, overall_confidence double",
+    )
+    out = str(tmp_path / "banded")
+    write_banded(df, out)
+    back = spark.read.parquet(out)
+    bands = {r.id: r.band for r in back.collect()}
+    assert bands == {1: "band_95_100", 2: "band_90_95", 3: "band_50_60", 4: "band_none"}
