@@ -443,12 +443,12 @@ def q_d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures, long format (portable md5-derived hashes)."""
-    from ai_bangladesh_address_parser_spark.operators.dedup import minhash_sig_expr
+    from ai_bangladesh_address_parser_spark.operators.dedup import minhash_signatures_long
 
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.posexplode(minhash_sig_expr("text", n_hashes=4, shingle_k=3)).alias("seed", "minhash")
-    ).select("doc_id", F.col("seed").cast("bigint").alias("seed"), "minhash")
+    d = minhash_signatures_long(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=4, shingle_k=3, hash_fn="md5"
+    )
+    return d.select("doc_id", F.col("seed").cast("bigint").alias("seed"), "minhash")
 
 
 def q_d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,33 +30,54 @@ HOT_BLOCK_CAP = 1000   # blocks larger than this get salted
 SALT_BUCKETS = 8
 
 
-def minhash_signature_expr(text_col: str, n_seeds: int = MINHASH_SEEDS):
-    """array<bigint> of k minhashes over whitespace/comma tokens:
-    minhash_i = min over tokens of xxhash64(i || '|' || token).
+def minhash_tokens_expr(text_col: str):
+    """Whitespace/comma tokens for minhash banding (lowercased)."""
+    return F.expr(f"filter(split(lower(`{text_col}`), '[\\\\s,]+'), t -> t != '')")
 
-    Built as ONE SQL-parsed expression with explicit lambda variable
-    names: the Column-API lambda path (F.transform(..., lambda ...))
-    mis-binds variables when several higher-order expressions share a
-    projection (observed on PySpark 4.1.2 — sibling lambdas return
-    unstable garbage), while parser-named variables are stable.
-    Fixed integer seeds → deterministic across runs and partitions.
+
+def minhash_band_keys(
+    mentions: DataFrame,
+    id_col: str = "mention_id",
+    text_col: str = "normalized",
+    n_seeds: int = MINHASH_SEEDS,
+    n_bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """→ (mention_id, block_key='m:<band>:<sig>') via the explode plan.
+
+    Long-format instead of a higher-order ``transform`` over a token
+    array: Spark evaluates lambda functions interpreted (no codegen
+    inside HOFs), which measured ~50-100× slower per hash. Exploded
+    volume (mentions × tokens × seeds) collapses to mentions × seeds in
+    the partial aggregation before the shuffle — the shape that
+    survives 10^12 pages. Fixed integer seeds → deterministic across
+    runs and partitions.
     """
-    return F.expr(
-        f"transform(sequence(0, {n_seeds - 1}), s -> "
-        f"array_min(transform(filter(split(lower(`{text_col}`), '[\\\\s,]+'), t -> t != ''), "
-        f"w -> xxhash64(concat(cast(s as string), '|', w)))))"
-    )
-
-
-def _band_keys_from_sig(sig_col, n_seeds: int = MINHASH_SEEDS, n_bands: int = MINHASH_BANDS):
-    """'m:<band>:<xxhash64 of the band's r minhash rows>' per band."""
     r = n_seeds // n_bands
-    bands = []
-    for b in range(n_bands):
-        rows = [F.element_at(sig_col, b * r + j + 1).cast("string") for j in range(r)]
-        sig = F.xxhash64(F.concat_ws(",", *rows))
-        bands.append(F.concat(F.lit(f"m:{b}:"), sig.cast("string")))
-    return F.array(*bands)
+    toks = mentions.select(
+        F.col(id_col).alias("mention_id"),
+        F.explode(F.array_distinct(minhash_tokens_expr(text_col))).alias("w"),
+    )
+    seeded = toks.select(
+        "mention_id", F.explode(F.array(*[F.lit(i) for i in range(n_seeds)])).alias("seed"), "w"
+    )
+    sig = (
+        seeded.withColumn("hv", F.xxhash64(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("w"))))
+        .groupBy("mention_id", "seed")
+        .agg(F.min("hv").alias("minhash"))
+    )
+    return (
+        sig.withColumn("band", F.floor(F.col("seed") / r))
+        .groupBy("mention_id", "band")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(",", F.sort_array(F.collect_list(F.struct("seed", "minhash"))).cast("string"))
+            ).alias("bsig")
+        )
+        .select(
+            "mention_id",
+            F.concat(F.lit("m:"), F.col("band").cast("string"), F.lit(":"), F.col("bsig").cast("string")).alias("block_key"),
+        )
+    )
 
 
 def blocking_keys(
@@ -68,8 +89,6 @@ def blocking_keys(
     use_minhash: bool = True,
 ) -> DataFrame:
     """→ (mention_id, block_key), one row per key the mention blocks on."""
-    if use_minhash:
-        mentions = mentions.withColumn("_mh_sig", minhash_signature_expr(text_col))
     keys = F.array()
     if postal_col:
         keys = F.concat(
@@ -87,12 +106,15 @@ def blocking_keys(
                 F.array(F.concat(F.lit("d:"), F.soundex(F.col(district_col)))),
             ).otherwise(F.array()),
         )
-    if use_minhash:
-        keys = F.concat(keys, _band_keys_from_sig(F.col("_mh_sig")))
-    return (
+    out = (
         mentions.select(F.col(id_col).alias("mention_id"), F.explode(F.array_distinct(keys)).alias("block_key"))
         .distinct()
     )
+    if use_minhash:
+        out = out.unionByName(
+            minhash_band_keys(mentions, id_col=id_col, text_col=text_col)
+        ).distinct()
+    return out
 
 
 def block_stats(keys: DataFrame) -> DataFrame:
@@ -114,6 +136,10 @@ def candidate_pairs(
     signature shared by boilerplate — produce quadratic junk; the cap is
     recorded in block stats so nothing is silently lost).
     """
+    # keys feeds the size aggregation, the anti-join, and both sides of
+    # the self-joins — materialize once (callers passing an already
+    # checkpointed frame make this a no-op-sized extra copy)
+    keys = keys.localCheckpoint(eager=False)
     sizes = block_stats(keys)
     k = keys.join(F.broadcast(sizes.filter(F.col("block_size") > (max_block or 2**62))), "block_key", "left_anti")
     k = k.join(sizes, "block_key").withColumn("hot", F.col("block_size") > hot_cap)

@@ -74,24 +74,75 @@ def drop_exact_duplicates(
 
 # --- minhash + LSH ---------------------------------------------------------
 
-def minhash_sig_expr(text_col: str, n_hashes: int = 8, shingle_k: int = 3) -> Column:
-    """array<bigint> minhash signature over k-token shingles.
+def minhash_sig_from_array(arr_col: str, n_hashes: int = 8) -> Column:
+    """array<bigint> minhash signature over a *materialized* string
+    array column. Seeds are the integers 0..n-1 — fixed, portable.
 
     Built as one SQL-parsed expression with named lambda variables (see
-    operators.blocking.minhash_signature_expr for why not Column-API
-    lambdas). Seeds are the integers 0..n-1 — fixed, portable.
+    operators.blocking for why not Column-API lambdas). Takes a column
+    NAME on purpose: inlining the shingle-building expression here
+    would re-evaluate it once per seed (measured 8× slower at k=8 —
+    the shingle construction, not the hashing, dominates).
     """
-    sh = (
-        f"array_distinct(transform(sequence(1, greatest(size(_toks) - {shingle_k - 1}, 1)),"
-        f" i -> array_join(slice(_toks, i, {shingle_k}), ' ')))"
-    )
-    toks = (
-        f"filter(split(lower(`{text_col}`), '[^a-z0-9\\\\u0980-\\\\u09ff]+'), t -> t != '')"
-    )
     return F.expr(
         f"transform(sequence(0, {n_hashes - 1}), s -> "
-        f"array_min(transform({sh.replace('_toks', toks)}, "
+        f"array_min(transform(`{arr_col}`, "
         f"w -> cast(conv(substring(md5(concat(cast(s as string), '|', w)), 1, 14), 16, 10) as bigint))))"
+    )
+
+
+def with_minhash_sig(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "_sig",
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """df + minhash signature column, shingles evaluated once per row."""
+    return (
+        df.withColumn("_mh_shingles", shingles_expr(text_col, shingle_k))
+        .withColumn(out_col, minhash_sig_from_array("_mh_shingles", n_hashes))
+        .drop("_mh_shingles")
+    )
+
+
+def minhash_signatures_long(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, seed, minhash) via the explode plan: shingles → seeds →
+    codegen'd hash → map-side-combined min.
+
+    Why explode instead of a higher-order ``transform`` over the
+    shingle array: Spark evaluates lambda functions *interpreted* (no
+    whole-stage codegen inside HOFs) — measured ~50-100× slower per
+    hash than the codegen'd long-format plan. The exploded row volume
+    (docs × shingles × seeds) collapses to docs × seeds at the partial
+    aggregation before any shuffle, so this is also the shape that
+    survives 10^12 documents.
+
+    ``hash_fn='xxhash64'`` is the fast path; ``'md5'`` is the portable
+    56-bit variant (bit-identical in DuckDB) used by oracle checks.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("_id"), F.explode(shingles_expr(text_col, shingle_k)).alias("sh")
+    )
+    seeded = sh.select(
+        "_id", F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("seed"), "sh"
+    )
+    if hash_fn == "md5":
+        hv = md5_hash64(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))
+    else:
+        hv = F.xxhash64(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))
+    return (
+        seeded.withColumn("hv", hv)
+        .groupBy("_id", "seed")
+        .agg(F.min("hv").alias("minhash"))
+        .select(F.col("_id").alias(id_col), "seed", "minhash")
     )
 
 
@@ -102,22 +153,29 @@ def minhash_band_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 minhash band → (id_a, id_b),
     id_a < id_b, distinct. b bands × r = n/b rows; P(candidate) ≈
-    1 − (1 − J^r)^b."""
+    1 − (1 − J^r)^b. Buckets larger than ``max_bucket`` (degenerate
+    content, e.g. boilerplate) are dropped before the quadratic
+    self-join — same policy as the blocking hot-cap."""
     r = n_hashes // bands
-    sig = minhash_sig_expr(text_col, n_hashes, shingle_k)
-    d = docs.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-    band_key = F.concat_ws(
-        ",",
-        F.col("band").cast("string"),
-        *[F.element_at("_sig", F.col("band") * r + j + 1).cast("string") for j in range(r)],
+    sig = minhash_signatures_long(docs, id_col, text_col, n_hashes, shingle_k, hash_fn)
+    band_sig = (
+        sig.withColumn("band", F.floor(F.col("seed") / r))
+        .groupBy(F.col(id_col).alias("_id"), "band")
+        .agg(F.xxhash64(F.concat_ws(",", F.sort_array(F.collect_list(F.struct("seed", "minhash"))).cast("string"))).alias("bsig"))
+        .select("_id", F.concat_ws(":", F.col("band").cast("string"), F.col("bsig").cast("string")).alias("band_key"))
+        # referenced 2-4× below (freq filter + both self-join sides):
+        # materialize once instead of recomputing the signature plan
+        .localCheckpoint(eager=False)
     )
-    keyed = d.select(
-        "_id", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    ).join(d, "_id").select("_id", band_key.alias("band_key"))
-    a, b = keyed.alias("a"), keyed.alias("b")
+    if max_bucket:
+        big = band_sig.groupBy("band_key").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > max_bucket)
+        band_sig = band_sig.join(F.broadcast(big), "band_key", "left_anti")
+    a, b = band_sig.alias("a"), band_sig.alias("b")
     return (
         a.join(b, "band_key")
         .filter(F.col("a._id") < F.col("b._id"))
@@ -188,7 +246,7 @@ def simhash_near_pairs(
     ).withColumn(
         "band_val",
         F.expr(f"shiftright(simhash, blk * {width}) & {mask}"),
-    )
+    ).localCheckpoint(eager=False)  # both self-join sides
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, ["blk", "band_val"])
@@ -222,7 +280,7 @@ def ngram_jaccard_pairs(
     hot-block cap in ``operators.blocking.candidate_pairs``."""
     sh = docs.select(
         F.col(id_col).alias("_id"), F.explode(shingles_expr(text_col, shingle_k)).alias("sh")
-    )
+    ).localCheckpoint(eager=False)  # used by freq/sizes/both join sides
     if max_shingle_freq:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n"))
         sh = sh.join(F.broadcast(freq.filter(F.col("n") > max_shingle_freq)), "sh", "left_anti")

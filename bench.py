@@ -149,7 +149,7 @@ def run_bench() -> dict:
 
 # --- scaling mode ----------------------------------------------------------
 
-def prepare_scoring_input(spark, sf_dir: str, out_dir: str, n_pages: int = 20000) -> int:
+def prepare_scoring_input(spark, sf_dir: str, out_dir: str, n_pages: int = 12000) -> int:
     """Materialize the scored-pair input (pair ids + both sides'
     components) once; the child runs only the scoring job over it."""
     from ai_bangladesh_address_parser_spark.operators.scoring import attach_pair_components
