@@ -265,6 +265,41 @@ def q_p1_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p5_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 variant: Arrow-batched Jaro-Winkler scorer (pandas UDF) —
+    value-identical to DuckDB's jaro_winkler_similarity."""
+    from ai_bangladesh_address_parser_spark.operators.scoring import score_pairs
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("cid"),
+        F.col("c_nationkey").cast("bigint").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_name").alias("cname"),
+    )
+    a = c.select(F.col("cid").alias("id_a"), "nk", "seg", F.col("cname").alias("name_a"))
+    b = c.select(F.col("cid").alias("id_b"), "nk", "seg", F.col("cname").alias("name_b"))
+    pairs = a.join(b, ["nk", "seg"]).filter(F.col("id_a") < F.col("id_b"))
+    scored = score_pairs(pairs, components=["name"], scorer="jaro_winkler", threshold=0.95)
+    return scored.select("id_a", "id_b", F.round("score", 6).alias("jw"))
+
+
+def q_j3_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: cross-component consistency conflicts (postal↔district,
+    district↔division) with suggested corrections."""
+    from ai_bangladesh_address_parser_spark.operators.extract import consistency_conflicts
+
+    c = _t(spark, sf_dir, "customer")
+    dist_arr = F.array(F.lit("Dhaka"), F.lit("Chattogram"), F.lit("Sylhet"))
+    postal_arr = F.array(*[F.lit(p) for _, p in _SYN_AREAS])
+    wide = c.select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id"),
+        F.element_at(postal_arr, (F.col("c_custkey") % 5).cast("int") + 1).alias("postal_code"),
+        F.element_at(dist_arr, (F.col("c_custkey") % 3).cast("int") + 1).alias("district"),
+        F.lit("Dhaka").alias("division"),
+    )
+    return consistency_conflicts(wide)
+
+
 def q_p2_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2: blocking-key explode + salted within-block self-join. hot_cap
     forces every nation block through the salted path; the oracle is the
@@ -526,6 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_format": q_t11_format,
         "p1_score_pairs": q_p1_score_pairs,
         "p2_candidate_pairs": q_p2_candidate_pairs,
+        "p5_jaro_winkler": q_p5_jaro_winkler,
+        "j3_consistency": q_j3_consistency,
         "p3_validate": q_p3_validate,
         "p4_connected_components": q_p4_connected_components,
         "a1_resolve_conflict": q_a1_resolve_conflict,
@@ -677,6 +714,44 @@ def oracle_sql() -> dict[str, str]:
                   from pairs)
             select id_a, id_b, round(sim, 6) as score, sim >= 0.9 as is_match from s
         """,
+        "p5_jaro_winkler": """
+            with c as (select lpad(cast(c_custkey as varchar),6,'0') as cid,
+                              c_nationkey as nk, c_mktsegment as seg,
+                              lower(trim(c_name)) as nm
+                       from customer),
+            pairs as (select a.cid as id_a, b.cid as id_b, a.nm as na, b.nm as nb
+                      from c a join c b on a.nk = b.nk and a.seg = b.seg and a.cid < b.cid)
+            select id_a, id_b,
+                   round(jaro_winkler_similarity(na, nb), 6) as jw
+            from pairs
+        """,
+        "j3_consistency": f"""
+            with wide as (
+              select lpad(cast(c_custkey as varchar),6,'0') as mention_id,
+                     {_POSTAL_CASE} as postal_code,
+                     (case c_custkey % 3 when 0 then 'Dhaka' when 1 then 'Chattogram'
+                        else 'Sylhet' end) as district,
+                     'Dhaka' as division
+              from customer),
+            postals as (select * from {{postal_values}}),
+            dd as (select * from {{dd_values}}),
+            pc as (
+              select mention_id, 'postal_district_mismatch' as conflict_type,
+                     district as actual, postals.pdistrict as expected
+              from wide join postals on wide.postal_code = postals.code
+              where district != '' and district != postals.pdistrict),
+            dc as (
+              select mention_id, 'district_division_mismatch' as conflict_type,
+                     wide.division as actual, dd.division as expected
+              from wide join dd on wide.district = dd.district
+              where wide.division != '' and wide.division != dd.division)
+            select * from pc union all select * from dc
+        """.format(
+            postal_values=_values_sql(
+                [(c, d) for c, d, _ in gz.POSTAL_CODES], ["code", "pdistrict"]
+            ),
+            dd_values=dd_values,
+        ),
         "p2_candidate_pairs": """
             with c as (select lpad(cast(c_custkey as varchar),6,'0') as cid, c_nationkey as nk
                        from customer)

@@ -314,6 +314,93 @@ def gazetteer_evidence(evidence: DataFrame) -> DataFrame:
     )
 
 
+def fuzzy_area_evidence(
+    mentions: DataFrame,
+    evidence: DataFrame,
+    id_col: str = "mention_id",
+    text_col: str = "normalized",
+    min_charset_jaccard: float = 0.7,
+) -> DataFrame:
+    """J2: area back-extraction for mentions with NO area evidence.
+
+    Reference semantics (gazetteer.py:191-377): fuzzy candidate = token
+    whose 4-char prefix matches an area's 4-char prefix (3 chars for
+    short names) AND whose character-set Jaccard vs the area name is
+    ≥ 0.7; confidence 0.75. Spark shape: anti-join to the no-area
+    subset → token explode → broadcast equi-join on the prefix key
+    (the fuzzy family collapses to a hash join on a coarse key + a
+    cheap expression filter — no pairwise scan)."""
+    has_area = evidence.filter(F.col("component") == "area").select("mention_id").distinct()
+    no_area = mentions.select(F.col(id_col).alias("mention_id"), F.col(text_col)).join(
+        has_area, "mention_id", "left_anti"
+    )
+    toks = _token_candidates(no_area, "mention_id", text_col).select(
+        "mention_id", F.col("key")
+    ).filter(F.length("key") >= 4)
+
+    spark = mentions.sparkSession
+    areas = gz.areas_df(spark).select(
+        F.lower("area").alias("area_lc"), "area"
+    ).withColumn("pfx", F.substring("area_lc", 1, 4))
+    cand = toks.withColumn("pfx", F.substring("key", 1, 4)).join(
+        F.broadcast(areas), "pfx"
+    ).filter(F.col("key") != F.col("area_lc"))  # exact hits belong to vocab_evidence
+
+    chars = lambda c: F.array_distinct(F.filter(F.split(c, ""), lambda x: x != ""))  # noqa: E731
+    jac = F.size(F.array_intersect(chars(F.col("key")), chars(F.col("area_lc")))) / \
+        F.size(F.array_union(chars(F.col("key")), chars(F.col("area_lc")))).cast("double")
+    return (
+        cand.filter(jac >= min_charset_jaccard)
+        .groupBy("mention_id", "area")
+        .agg(F.count(F.lit(1)))
+        .select(
+            "mention_id",
+            F.lit("area").alias("component"),
+            F.col("area").alias("value"),
+            F.lit(0.75).alias("confidence"),
+            F.lit("gazetteer_corrected").alias("source"),
+        )
+    )
+
+
+def consistency_conflicts(wide: DataFrame, id_col: str = "mention_id") -> DataFrame:
+    """J3: cross-component consistency checks over the resolved wide
+    table — postal↔district via the postal dim, district↔division via
+    the admin dim; one row per detected conflict with the suggested
+    correction (geographic_validator.py:37-169 semantics)."""
+    spark = wide.sparkSession
+    postals = F.broadcast(gz.postal_codes_df(spark).select(
+        F.col("code"), F.col("district").alias("postal_district")
+    ))
+    dd = F.broadcast(gz.district_division_df(spark).select(
+        F.col("district").alias("dd_district"), F.col("division").alias("dd_division")
+    ))
+    base = wide.select(
+        F.col(id_col).alias("mention_id"), "postal_code", "district", "division"
+    )
+    postal_conf = (
+        base.join(postals, base.postal_code == postals.code)
+        .filter((F.col("district") != "") & (F.col("district") != F.col("postal_district")))
+        .select(
+            "mention_id",
+            F.lit("postal_district_mismatch").alias("conflict_type"),
+            F.col("district").alias("actual"),
+            F.col("postal_district").alias("expected"),
+        )
+    )
+    div_conf = (
+        base.join(dd, base.district == dd.dd_district)
+        .filter((F.col("division") != "") & (F.col("division") != F.col("dd_division")))
+        .select(
+            "mention_id",
+            F.lit("district_division_mismatch").alias("conflict_type"),
+            F.col("division").alias("actual"),
+            F.col("dd_division").alias("expected"),
+        )
+    )
+    return postal_conf.unionByName(div_conf)
+
+
 def extract_evidence(
     mentions: DataFrame,
     id_col: str = "mention_id",
@@ -332,4 +419,8 @@ def extract_evidence(
     )
     if materialize:
         base = base.persist()
-    return base.unionByName(gazetteer_evidence(base))
+    fuzzy = fuzzy_area_evidence(mentions, base, id_col, text_col)
+    first_pass = base.unionByName(fuzzy)
+    if materialize:
+        first_pass = first_pass.persist()
+    return first_pass.unionByName(gazetteer_evidence(first_pass))

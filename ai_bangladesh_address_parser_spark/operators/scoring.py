@@ -44,6 +44,64 @@ def _difflib_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="float64")
 
 
+def _jaro(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    if a == b:
+        return 1.0
+    window = max(la, lb) // 2 - 1
+    ma = [False] * la
+    mb = [False] * lb
+    matches = 0
+    for i, ca in enumerate(a):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not mb[j] and b[j] == ca:
+                ma[i] = mb[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if ma[i]:
+            while not mb[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    m = float(matches)
+    # half-transpositions use INTEGER division (t // 2), matching the
+    # RapidFuzz/DuckDB implementation; the textbook t/2 differs on odd
+    # mismatch counts and would break oracle value-parity
+    return (m / la + m / lb + (m - t // 2) / m) / 3.0
+
+
+@F.pandas_udf(DoubleType())
+def _jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Jaro-Winkler (standard: prefix scale 0.1, prefix cap 4, boost
+    threshold 0.7 — value-identical to DuckDB's
+    ``jaro_winkler_similarity``, verified in the oracle battery),
+    vectorized over an Arrow batch. Null/empty → NaN."""
+    out = []
+    for x, y in zip(a, b):
+        if x is None or y is None or x == "" or y == "":
+            out.append(None)
+            continue
+        j = _jaro(x, y)
+        if j > 0.7:
+            prefix = 0
+            for cx, cy in zip(x[:4], y[:4]):
+                if cx != cy:
+                    break
+                prefix += 1
+            j += prefix * 0.1 * (1.0 - j)
+        out.append(j)
+    return pd.Series(out, dtype="float64")
+
+
 def _lev_sim(a: Column, b: Column) -> Column:
     """1 − levenshtein/max(len) in doubles; null when either side empty."""
     return F.when(
@@ -81,7 +139,12 @@ def score_pairs(
     :189-194); no comparable components at all → score 0.0.
     """
     components = components or ALL_COMPONENTS
-    sim = {"difflib": _difflib_ratio, "levenshtein": _lev_sim, "token_jaccard": _token_jaccard}[scorer]
+    sim = {
+        "difflib": _difflib_ratio,
+        "levenshtein": _lev_sim,
+        "token_jaccard": _token_jaccard,
+        "jaro_winkler": _jaro_winkler,
+    }[scorer]
 
     df = pairs
     sim_cols = []

@@ -170,7 +170,14 @@ def score_bench(cpus: int, pairs_dir: str) -> dict:
 
     from ai_bangladesh_address_parser_spark.operators.scoring import score_pairs
 
+    # Cluster-faithful sizing: a 4N-executor cluster has 4N× the heap,
+    # so the child heap scales with its core count (a shared fixed heap
+    # would starve the wide config into GC-bound sub-linearity). Input
+    # splits at 8MB ≈ several per core at the bench size, so both
+    # configurations are CPU-bound rather than split-bound.
+    os.environ["ABAP_DRIVER_MEM"] = f"{max(4, cpus)}g"
     spark = _spark(cpus)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     pairs = spark.read.parquet(pairs_dir)
     n = pairs.count()  # warm: JVM up, file listing done, pages in page cache
     t = time.time()

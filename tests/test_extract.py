@@ -76,3 +76,49 @@ def test_every_mention_resolved(extracted):
     assert len(extracted) == len(GOLDEN)
     for v in extracted.values():
         assert v["overall_confidence"] > 0.5
+
+
+def test_fuzzy_area_back_extraction(spark):
+    """J2: misspelled area not in the variant vocab is recovered via
+    prefix + char-set-Jaccard fuzzy match (gazetteer.py:321-377)."""
+    from ai_bangladesh_address_parser_spark.operators.extract import (
+        extract_evidence,
+        fuzzy_area_evidence,
+        regex_evidence,
+        vocab_evidence,
+    )
+
+    df = spark.createDataFrame(
+        [("f1", "House 4, Road 2, Dhanmondy, Dhaka"),
+         ("f2", "House 9, Gulshan, Dhaka")],
+        ["mention_id", "text"],
+    ).withColumn("normalized", normalize_expr("text"))
+    base = regex_evidence(df).unionByName(vocab_evidence(df))
+    fz = fuzzy_area_evidence(df, base).collect()
+    assert {(r.mention_id, r.value) for r in fz} == {("f1", "Dhanmondi")}
+    # end-to-end: resolve picks the fuzzy area and gazetteer fills postal
+    wide = resolved_wide(resolve_evidence(extract_evidence(df)))
+    got = {r.mention_id: r.asDict() for r in wide.collect()}
+    assert got["f1"]["area"] == "Dhanmondi"
+    assert got["f1"]["postal_code"] == "1209"
+
+
+def test_consistency_conflicts(spark):
+    from ai_bangladesh_address_parser_spark.operators.extract import consistency_conflicts
+
+    wide = spark.createDataFrame(
+        [("c1", "1212", "Dhaka", "Dhaka"),          # consistent
+         ("c2", "1212", "Sylhet", "Dhaka"),          # postal says Dhaka
+         ("c3", "", "Chattogram", "Dhaka"),          # division wrong
+         ("c4", "4100", "Chattogram", "Chattogram")],
+        ["mention_id", "postal_code", "district", "division"],
+    )
+    out = {(r.mention_id, r.conflict_type): (r.actual, r.expected)
+           for r in consistency_conflicts(wide).collect()}
+    assert out[("c2", "postal_district_mismatch")] == ("Sylhet", "Dhaka")
+    assert out[("c3", "district_division_mismatch")] == ("Dhaka", "Chattogram")
+    assert ("c1", "postal_district_mismatch") not in out
+    assert ("c4", "district_division_mismatch") not in out
+    # c2's division is consistent with Sylhet? no — division says Dhaka,
+    # district Sylhet maps to division Sylhet → also flagged
+    assert out[("c2", "district_division_mismatch")] == ("Dhaka", "Sylhet")

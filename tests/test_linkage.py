@@ -169,3 +169,26 @@ def test_attach_pair_components(spark):
     assert r["district_a"] == r["district_b"] == "Dhaka"
     scored = score_pairs(out, components=["district", "postal_code"]).first()
     assert scored["is_match"] and scored["score"] == pytest.approx(1.0)
+
+
+def test_jaro_winkler_scorer_reference_values(spark):
+    """JW pandas UDF matches the standard algorithm (pinned against
+    DuckDB's jaro_winkler_similarity values)."""
+    from ai_bangladesh_address_parser_spark.operators.scoring import score_pairs
+
+    cases = [
+        ("martha", "marhta", 0.961111),
+        ("dixon", "dicksonx", 0.813333),
+        ("jellyfish", "smellyfish", 0.896296),
+        ("abc", "abc", 1.0),
+        ("dwayne", "duane", 0.84),
+        ("al", "aly", 0.911111),
+        ("abcdefgh", "abcdefgh12345", 0.923077),
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b, _ in cases], ["name_a", "name_b"]
+    )
+    out = score_pairs(df, components=["name"], scorer="jaro_winkler").collect()
+    got = {(r.name_a, r.name_b): r.score for r in out}
+    for a, b, want in cases:
+        assert abs(got[(a, b)] - want) < 1e-5, (a, b, got[(a, b)], want)

@@ -57,6 +57,37 @@ def test_pages_schema_and_determinism(spark):
     assert truth.count() == 50
 
 
+def test_hot_path_f1_vs_reference_oracle_on_blocked_pairs(spark):
+    """The BASELINE criterion, literally: pairwise F1 ≥ 0.99 of the
+    scaled (levenshtein) scorer's match decisions against the reference
+    semantics (difflib/SequenceMatcher oracle) on candidate pairs at
+    shared blocking keys."""
+    from ai_bangladesh_address_parser_spark.operators.scoring import (
+        attach_pair_components,
+        score_pairs,
+    )
+
+    pages, _ = synth_pages(spark, n_pages=600, n_entities=150)
+    plan = LinkagePlan(spark)
+    wide = plan.extract(pages)
+    pairs = plan.block(wide).localCheckpoint(eager=True)
+    ready = attach_pair_components(pairs, wide).localCheckpoint(eager=True)
+
+    lev = score_pairs(ready, scorer="levenshtein").select("id_a", "id_b", "is_match")
+    ora = score_pairs(ready, scorer="difflib").select(
+        "id_a", "id_b", F.col("is_match").alias("oracle_match")
+    )
+    j = lev.join(ora, ["id_a", "id_b"]).cache()
+    tp = j.filter(F.col("is_match") & F.col("oracle_match")).count()
+    fp = j.filter(F.col("is_match") & ~F.col("oracle_match")).count()
+    fn = j.filter(~F.col("is_match") & F.col("oracle_match")).count()
+    assert tp > 0
+    p = tp / (tp + fp) if tp + fp else 1.0
+    r = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * p * r / (p + r)
+    assert f1 >= 0.99, (tp, fp, fn, f1)
+
+
 def test_linkage_end_to_end(spark, sf_dir, tmp_path):
     """One full run covering: F1 ≥ 0.99 vs ground truth, address-free
     negative pages staying singletons, per-stage checkpoints on disk,
