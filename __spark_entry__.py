@@ -300,6 +300,22 @@ def q_j3_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return consistency_conflicts(wide)
 
 
+def q_j4_predict_postal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: postal prediction cascade (area exact → district min-code)
+    for rows missing a postal code."""
+    from ai_bangladesh_address_parser_spark.operators.extract import predict_postal
+
+    c = _t(spark, sf_dir, "customer")
+    area_arr = F.array(*([F.lit(a) for a, _ in _SYN_AREAS] + [F.lit("")]))
+    wide = c.select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("")).otherwise(F.lit("1212")).alias("postal_code"),
+        F.element_at(area_arr, (F.col("c_custkey") % 6).cast("int") + 1).alias("area"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("Dhaka")).otherwise(F.lit("Chattogram")).alias("district"),
+    )
+    return predict_postal(wide)
+
+
 def q_p2_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2: blocking-key explode + salted within-block self-join. hot_cap
     forces every nation block through the salted path; the oracle is the
@@ -563,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_candidate_pairs": q_p2_candidate_pairs,
         "p5_jaro_winkler": q_p5_jaro_winkler,
         "j3_consistency": q_j3_consistency,
+        "j4_predict_postal": q_j4_predict_postal,
         "p3_validate": q_p3_validate,
         "p4_connected_components": q_p4_connected_components,
         "a1_resolve_conflict": q_a1_resolve_conflict,
@@ -752,6 +769,32 @@ def oracle_sql() -> dict[str, str]:
             ),
             dd_values=dd_values,
         ),
+        "j4_predict_postal": f"""
+            with wide as (
+              select lpad(cast(c_custkey as varchar),6,'0') as mention_id,
+                     case when c_custkey % 4 = 0 then '' else '1212' end as postal_code,
+                     (case c_custkey % 6 when 0 then 'Gulshan' when 1 then 'Banani'
+                        when 2 then 'Dhanmondi' when 3 then 'Uttara' when 4 then 'Mirpur'
+                        else '' end) as area,
+                     case when c_custkey % 2 = 0 then 'Dhaka' else 'Chattogram' end as district
+              from customer),
+            areas as (select * from {_values_sql(gz.AREAS, ['a_area', 'a_district', 'area_postal'])}),
+            dmin as (select pdistrict as d_district, min(code) as district_postal
+                     from {_values_sql([(c, d) for c, d, _ in gz.POSTAL_CODES], ['code', 'pdistrict'])}
+                     group by pdistrict),
+            missing as (select * from wide where postal_code is null or postal_code = ''),
+            j as (select m.mention_id, a.area_postal, d.district_postal
+                  from missing m
+                  left join areas a on m.area = a.a_area
+                  left join dmin d on m.district = d.d_district)
+            select mention_id,
+                   coalesce(area_postal, district_postal) as predicted_postal,
+                   case when area_postal is not null then 0.95
+                        when district_postal is not null then 0.60 end as prediction_confidence,
+                   case when area_postal is not null then 'area_exact'
+                        when district_postal is not null then 'district_min_code' end as prediction_source
+            from j where coalesce(area_postal, district_postal) is not null
+        """,
         "p2_candidate_pairs": """
             with c as (select lpad(cast(c_custkey as varchar),6,'0') as cid, c_nationkey as nk
                        from customer)

@@ -363,6 +363,39 @@ def fuzzy_area_evidence(
     )
 
 
+def predict_postal(wide: DataFrame, id_col: str = "mention_id") -> DataFrame:
+    """J4: postal-code prediction cascade for rows missing a postal —
+    priority coalesce over left broadcast joins, highest-priority
+    source wins (bangladesh_geo_offline.py:221-338 semantics, folded to
+    the dims this engine ships: area exact 0.95 → district min-code
+    0.60). Returns (mention_id, predicted_postal, prediction_confidence,
+    prediction_source); rows with no prediction are absent."""
+    spark = wide.sparkSession
+    areas = F.broadcast(gz.areas_df(spark).select(
+        F.col("area").alias("a_area"), F.col("postal_code").alias("area_postal")
+    ))
+    district_min = F.broadcast(
+        gz.postal_codes_df(spark)
+        .groupBy("district")
+        .agg(F.min("code").alias("district_postal"))
+        .select(F.col("district").alias("d_district"), "district_postal")
+    )
+    base = wide.select(F.col(id_col).alias("mention_id"), "postal_code", "area", "district")
+    missing = base.filter(F.col("postal_code").isNull() | (F.col("postal_code") == ""))
+    j = (
+        missing.join(areas, missing.area == areas.a_area, "left")
+        .join(district_min, missing.district == district_min.d_district, "left")
+    )
+    return j.select(
+        "mention_id",
+        F.coalesce(F.col("area_postal"), F.col("district_postal")).alias("predicted_postal"),
+        F.when(F.col("area_postal").isNotNull(), 0.95)
+         .when(F.col("district_postal").isNotNull(), 0.60).alias("prediction_confidence"),
+        F.when(F.col("area_postal").isNotNull(), F.lit("area_exact"))
+         .when(F.col("district_postal").isNotNull(), F.lit("district_min_code")).alias("prediction_source"),
+    ).filter(F.col("predicted_postal").isNotNull())
+
+
 def consistency_conflicts(wide: DataFrame, id_col: str = "mention_id") -> DataFrame:
     """J3: cross-component consistency checks over the resolved wide
     table — postal↔district via the postal dim, district↔division via

@@ -122,3 +122,38 @@ def test_consistency_conflicts(spark):
     # c2's division is consistent with Sylhet? no — division says Dhaka,
     # district Sylhet maps to division Sylhet → also flagged
     assert out[("c2", "district_division_mismatch")] == ("Dhaka", "Sylhet")
+
+
+def test_predict_postal_cascade(spark):
+    from ai_bangladesh_address_parser_spark.operators.extract import predict_postal
+
+    wide = spark.createDataFrame(
+        [("p1", "", "Gulshan", "Dhaka"),        # area exact → 1212 @0.95
+         ("p2", "", "", "Chattogram"),           # district min → 4000 @0.60
+         ("p3", "1209", "Dhanmondi", "Dhaka"),   # has postal → absent
+         ("p4", "", "", "Atlantis")],            # unknown → absent
+        ["mention_id", "postal_code", "area", "district"],
+    )
+    out = {r.mention_id: r for r in predict_postal(wide).collect()}
+    assert out["p1"].predicted_postal == "1212" and out["p1"].prediction_source == "area_exact"
+    assert out["p2"].predicted_postal == "4000" and out["p2"].prediction_confidence == 0.60
+    assert "p3" not in out and "p4" not in out
+
+
+def test_ner_evidence_stage(spark):
+    from ai_bangladesh_address_parser_spark.operators.ner import ner_evidence
+
+    df = spark.createDataFrame(
+        [("n1", "House 12 Road 5 Dhaka 1216"), ("n2", "nothing here")],
+        ["mention_id", "normalized"],
+    )
+    ev = ner_evidence(df).collect()
+    got = {(r.mention_id, r.component): r.value for r in ev}
+    assert got[("n1", "house_number")] == "12"
+    assert got[("n1", "road")] == "5"
+    assert got[("n1", "postal_code")] == "1216"
+    assert all(r.confidence == 0.85 and r.source == "spacy_ner" for r in ev)
+    assert not [r for r in ev if r.mention_id == "n2"]
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        ner_evidence(df, model="spacy")  # spaCy absent → fails on driver
