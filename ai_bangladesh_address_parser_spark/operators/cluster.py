@@ -99,6 +99,39 @@ def connected_components(
     return members.unionByName(roots).distinct()
 
 
+def entity_profiles(
+    entities: DataFrame,
+    components: list[str] | None = None,
+    id_col: str = "entity_id",
+) -> DataFrame:
+    """Golden-record construction: one row per entity with the
+    majority-vote value per component across member mentions
+    (count desc, value asc tie-break — total order) plus member count.
+
+    The entity-level analogue of Stage-8 resolution: after clustering,
+    each member contributes its resolved components; the profile is the
+    consensus. One melt (``stack``), one aggregation, one window, one
+    pivot — all map-side-combinable."""
+    from pyspark.sql import Window
+
+    from ..reference_semantics import ALL_COMPONENTS
+
+    components = components or ALL_COMPONENTS
+    stack = ", ".join(f"'{c}', `{c}`" for c in components)
+    long = entities.select(
+        F.col(id_col), F.expr(f"stack({len(components)}, {stack}) as (component, value)")
+    ).filter(F.col("value").isNotNull() & (F.col("value") != ""))
+    counts = long.groupBy(id_col, "component", "value").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(id_col, "component").orderBy(F.col("n").desc(), F.col("value"))
+    winner = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    wide = winner.groupBy(id_col).pivot("component", components).agg(F.first("value"))
+    members = entities.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_members"))
+    out = wide.join(members, id_col)
+    for c in components:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit("")))
+    return out
+
+
 def assign_entity_ids(
     mentions: DataFrame,
     match_edges: DataFrame,

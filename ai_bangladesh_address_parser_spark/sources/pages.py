@@ -195,3 +195,21 @@ def write_banded(
         .otherwise(F.lit("band_00_50"))
     )
     df.withColumn("band", band).write.mode("overwrite").partitionBy("band").format(fmt).save(path)
+
+
+def read_band(spark: SparkSession, path: str, band: str) -> DataFrame:
+    """D3 ``reprocess <band>``: read one confidence band back. The
+    band filter prunes to that partition directory (partition pruning —
+    no full scan), which is the point of the banded layout."""
+    return spark.read.parquet(path).filter(F.col("band") == band)
+
+
+def merge_by_id(master: DataFrame, updates: DataFrame, id_col: str) -> DataFrame:
+    """D3 ``sync <band>``: upsert edited rows into the master table by
+    id — the engine-agnostic form of Iceberg ``MERGE INTO`` (anti-join
+    keeps untouched rows, union adds the new versions). With an Iceberg
+    catalog this one-liner becomes
+    ``spark.sql("MERGE INTO master USING updates ON ... WHEN MATCHED
+    UPDATE ... WHEN NOT MATCHED INSERT *")`` with snapshot isolation."""
+    keep = master.join(updates.select(id_col), id_col, "left_anti")
+    return keep.unionByName(updates.select(*master.columns))

@@ -137,3 +137,28 @@ def test_write_banded_sink(spark, tmp_path):
     back = spark.read.parquet(out)
     bands = {r.id: r.band for r in back.collect()}
     assert bands == {1: "band_95_100", 2: "band_90_95", 3: "band_50_60", 4: "band_none"}
+
+
+def test_band_reprocess_and_merge(spark, tmp_path):
+    """D2/D3 verbs: split → reprocess one band → sync back by id."""
+    from ai_bangladesh_address_parser_spark.sources.pages import (
+        merge_by_id,
+        read_band,
+        write_banded,
+    )
+
+    master = spark.createDataFrame(
+        [(1, "a", 0.97), (2, "b", 0.91), (3, "c", 0.55), (4, "d", 0.52)],
+        "id bigint, payload string, overall_confidence double",
+    )
+    out = str(tmp_path / "bands")
+    write_banded(master, out)
+    band = read_band(spark, out, "band_50_60")
+    assert {r.id for r in band.collect()} == {3, 4}
+    # "reprocess": fix the low-confidence rows
+    fixed = band.select("id", F.upper("payload").alias("payload"),
+                        F.lit(0.96).alias("overall_confidence"))
+    merged = merge_by_id(master, fixed, "id")
+    got = {r.id: (r.payload, r.overall_confidence) for r in merged.collect()}
+    assert got[3] == ("C", 0.96) and got[4] == ("D", 0.96)
+    assert got[1] == ("a", 0.97) and merged.count() == 4

@@ -192,3 +192,59 @@ def test_jaro_winkler_scorer_reference_values(spark):
     got = {(r.name_a, r.name_b): r.score for r in out}
     for a, b, want in cases:
         assert abs(got[(a, b)] - want) < 1e-5, (a, b, got[(a, b)], want)
+
+
+def test_connected_components_random_graph_vs_union_find(spark):
+    """CC on a deterministic pseudo-random graph vs a pure-Python
+    union-find oracle."""
+    import random
+
+    from ai_bangladesh_address_parser_spark.operators.cluster import connected_components
+
+    rng = random.Random(42)
+    nodes = [f"n{i:03d}" for i in range(200)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical root = min node id per component
+    expected = {}
+    groups = {}
+    for n in nodes:
+        groups.setdefault(find(n), []).append(n)
+    for members in groups.values():
+        root = min(members)
+        for m in members:
+            expected[m] = root
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    touched = {n for e in edges for n in e}
+    assert got == {n: expected[n] for n in touched}
+
+
+def test_entity_profiles_golden_record(spark):
+    from ai_bangladesh_address_parser_spark.operators.cluster import entity_profiles
+
+    rows = [
+        ("e1", "12", "5", "Gulshan", "Dhaka", "Dhaka", "1212", "", "", ""),
+        ("e1", "12", "5", "Gulshan", "Dhaka", "Dhaka", "1212", "", "", ""),
+        ("e1", "12", "5", "Gulshun", "Dhaka", "Dhaka", "", "", "", ""),  # outlier variant
+        ("e2", "7", "", "Banani", "Dhaka", "Dhaka", "1213", "A-3", "", ""),
+    ]
+    cols = ["entity_id", "house_number", "road", "area", "district",
+            "division", "postal_code", "flat_number", "floor_number", "block_number"]
+    df = spark.createDataFrame(rows, cols)
+    prof = {r.entity_id: r.asDict() for r in entity_profiles(df).collect()}
+    assert prof["e1"]["area"] == "Gulshan" and prof["e1"]["postal_code"] == "1212"
+    assert prof["e1"]["n_members"] == 3
+    assert prof["e2"]["flat_number"] == "A-3" and prof["e2"]["n_members"] == 1
