@@ -844,7 +844,8 @@ def oracle_sql() -> dict[str, str]:
             with ev as (
               select cast(l_orderkey as varchar) as mention_id,
                      case when l_linenumber % 2 = 0 then 'house_number' else 'road' end as component,
-                     l_returnflag as value, 0.5 as confidence, 'regex' as source
+                     l_returnflag as value, cast(0.5 as double) as confidence,
+                     'regex' as source
               from lineitem),
             per_value as (
               select mention_id, component, value,
@@ -863,12 +864,12 @@ def oracle_sql() -> dict[str, str]:
                      sum(sum_conf) over (partition by mention_id, component) as total_conf
               from per_value)
             select mention_id, component, value,
-                   round(case when n_values = 1
+                   round(cast(case when n_values = 1
                               then least(total_conf / total_ev * 1.05, 0.99)
-                              else best_conf * 0.90 end, 6) as confidence,
+                              else best_conf * 0.90 end as double), 6) as confidence,
                    best_source as source,
                    n_values > 1 as conflict,
-                   total_ev as evidence_count
+                   cast(total_ev as bigint) as evidence_count
             from win where rn = 1
         """,
         "a3_batch_stats": """
@@ -906,7 +907,8 @@ def oracle_sql() -> dict[str, str]:
                               order by cnt desc, postal_code desc) as rn,
                               sum(cnt) over (partition by area) as n_records
                        from per_postal)
-            select area, postal_code as top_postal, n_records
+            select area, postal_code as top_postal,
+                   cast(n_records as bigint) as n_records
             from ranked where rn = 1 order by area
         """,
         "j1_gazetteer_enrich": f"""
@@ -971,7 +973,8 @@ def oracle_sql() -> dict[str, str]:
                              sum(case when (h >> bit) & 1 = 1 then 1 else -1 end) as s
                       from th cross join bits group by doc_id, bit)
             select doc_id,
-                   sum(case when s > 0 then (1::bigint << bit) else 0 end) as simhash
+                   cast(sum(case when s > 0 then (1::bigint << bit) else 0 end)
+                        as bigint) as simhash
             from votes group by doc_id
         """,
         "x1_ann_topk": """

@@ -8,6 +8,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import os
 import sys
@@ -26,6 +27,11 @@ def canon(v):
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, decimal.Decimal):
+        # Deliberately NOT normalized to float: a DECIMAL-producing
+        # oracle must fail here the same way it fails in the driver —
+        # fix the oracle SQL with explicit casts instead.
+        return "dec:" + str(v)
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
