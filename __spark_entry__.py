@@ -300,20 +300,66 @@ def q_j3_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return consistency_conflicts(wide)
 
 
+_J4_AREAS = ["Savar", "Savarhat2", "Savargram1", "Gulshan", "Gulsh", "", "Patiya",
+             "zzznope"]
+
+
 def q_j4_predict_postal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: postal prediction cascade (area exact → district min-code)
+    """J4: the 6-priority postal prediction cascade (upazila → union →
+    village → post-office → fuzzy → district min-code), district-gated,
     for rows missing a postal code."""
     from ai_bangladesh_address_parser_spark.operators.extract import predict_postal
 
     c = _t(spark, sf_dir, "customer")
-    area_arr = F.array(*([F.lit(a) for a, _ in _SYN_AREAS] + [F.lit("")]))
+    area_arr = F.array(*[F.lit(a) for a in _J4_AREAS])
     wide = c.select(
         F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id"),
-        F.when(F.col("c_custkey") % 4 == 0, F.lit("")).otherwise(F.lit("1212")).alias("postal_code"),
-        F.element_at(area_arr, (F.col("c_custkey") % 6).cast("int") + 1).alias("area"),
-        F.when(F.col("c_custkey") % 2 == 0, F.lit("Dhaka")).otherwise(F.lit("Chattogram")).alias("district"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("")).otherwise(F.lit("1212")).alias("postal_code"),
+        F.element_at(area_arr, (F.col("c_custkey") % 8).cast("int") + 1).alias("area"),
+        F.when(F.col("c_custkey") % 5 <= 2, F.lit("Dhaka"))
+         .when(F.col("c_custkey") % 5 == 3, F.lit("Chattogram"))
+         .otherwise(F.lit("")).alias("district"),
     )
     return predict_postal(wide)
+
+
+def q_j5_geo_proactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: proactive upazila/union extraction with district/division
+    auto-fill, gated on absent area/district/division evidence."""
+    from ai_bangladesh_address_parser_spark.operators.extract import geo_evidence
+
+    c = _t(spark, sf_dir, "customer")
+    tok_arr = F.array(F.lit("Savar"), F.lit("Dhamrai"), F.lit("Savarhat1"),
+                      F.lit("Patiyahat3"), F.lit("no geo here"), F.lit("Savar"))
+    mentions = c.select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id"),
+        F.concat(F.lit("House "), (F.col("c_custkey") % 50 + 1).cast("string"),
+                 F.lit(", "),
+                 F.element_at(tok_arr, (F.col("c_custkey") % 6).cast("int") + 1)
+                 ).alias("normalized"),
+    )
+    ev = c.filter((F.col("c_custkey") % 6 == 5) | (F.col("c_custkey") % 12 == 0)).select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id"),
+        F.when(F.col("c_custkey") % 6 == 5, F.lit("area")).otherwise(F.lit("district")).alias("component"),
+        F.when(F.col("c_custkey") % 6 == 5, F.lit("Gulshan")).otherwise(F.lit("Dhaka")).alias("value"),
+        F.lit(0.9).alias("confidence"), F.lit("regex").alias("source"),
+    )
+    return geo_evidence(mentions, ev)
+
+
+def q_j6_full_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: postal → (upazila, district, division, union list) broadcast
+    lookup."""
+    from ai_bangladesh_address_parser_spark.operators.extract import full_hierarchy
+
+    c = _t(spark, sf_dir, "customer")
+    postal_arr = F.array(F.lit("1340"), F.lit("1342"), F.lit("4330"),
+                         F.lit("3170"), F.lit("1212"), F.lit(""))
+    df = c.select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id"),
+        F.element_at(postal_arr, (F.col("c_custkey") % 6).cast("int") + 1).alias("postal_code"),
+    )
+    return full_hierarchy(df)
 
 
 def q_p2_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,6 +626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_jaro_winkler": q_p5_jaro_winkler,
         "j3_consistency": q_j3_consistency,
         "j4_predict_postal": q_j4_predict_postal,
+        "j5_geo_proactive": q_j5_geo_proactive,
+        "j6_full_hierarchy": q_j6_full_hierarchy,
         "p3_validate": q_p3_validate,
         "p4_connected_components": q_p4_connected_components,
         "a1_resolve_conflict": q_a1_resolve_conflict,
@@ -605,6 +653,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ai_bangladesh_address_parser_spark.data import geo_hierarchy as gh
+
+    up_values = _values_sql(
+        [(n, d, dv, c) for n, d, dv, c in gh.UPAZILAS],
+        ["name", "district", "division", "code"])
+    un_values = _values_sql(
+        [(n, u, d, dv, c) for n, u, d, dv, c in gh.UNIONS],
+        ["name", "upazila", "district", "division", "code"])
+    vg_values = _values_sql(
+        [(n, d, c) for n, _un, _u, d, _dv, c in gh.VILLAGES],
+        ["name", "district", "code"])
+    po_values = _values_sql(gz.POSTAL_CODES, ["code", "district", "post_office"])
     dv_values = _values_sql(sorted(set(gz.DISTRICT_VARIANTS)), ["variant", "district"])
     av_values = _values_sql(sorted(set(gz.AREA_VARIANTS)), ["variant", "area"])
     areas_values = _values_sql(gz.AREAS, ["area", "district", "postal_code"])
@@ -704,8 +764,8 @@ def oracle_sql() -> dict[str, str]:
               from pl, unnest(generate_series(1, len(parts))) as g(i)),
             dv as (select * from {dv_values})
             select mention_id, district,
-                   case when max(case when part_idx = n_parts - 1 then 1 else 0 end) = 1
-                        then 0.95 else 0.90 end as confidence
+                   cast(case when max(case when part_idx = n_parts - 1 then 1 else 0 end) = 1
+                        then 0.95 else 0.90 end as double) as confidence
             from toks join dv on toks.key = dv.variant
             group by mention_id, district
         """,
@@ -772,28 +832,112 @@ def oracle_sql() -> dict[str, str]:
         "j4_predict_postal": f"""
             with wide as (
               select lpad(cast(c_custkey as varchar),6,'0') as mention_id,
-                     case when c_custkey % 4 = 0 then '' else '1212' end as postal_code,
-                     (case c_custkey % 6 when 0 then 'Gulshan' when 1 then 'Banani'
-                        when 2 then 'Dhanmondi' when 3 then 'Uttara' when 4 then 'Mirpur'
-                        else '' end) as area,
-                     case when c_custkey % 2 = 0 then 'Dhaka' else 'Chattogram' end as district
+                     case when c_custkey % 3 = 0 then '' else '1212' end as postal_code,
+                     (case c_custkey % 8 when 0 then 'Savar' when 1 then 'Savarhat2'
+                        when 2 then 'Savargram1' when 3 then 'Gulshan' when 4 then 'Gulsh'
+                        when 5 then '' when 6 then 'Patiya' else 'zzznope' end) as area,
+                     (case when c_custkey % 5 <= 2 then 'Dhaka'
+                           when c_custkey % 5 = 3 then 'Chattogram' else '' end) as district
               from customer),
-            areas as (select * from {_values_sql(gz.AREAS, ['a_area', 'a_district', 'area_postal'])}),
-            dmin as (select pdistrict as d_district, min(code) as district_postal
-                     from {_values_sql([(c, d) for c, d, _ in gz.POSTAL_CODES], ['code', 'pdistrict'])}
-                     group by pdistrict),
-            missing as (select * from wide where postal_code is null or postal_code = ''),
-            j as (select m.mention_id, a.area_postal, d.district_postal
-                  from missing m
-                  left join areas a on m.area = a.a_area
-                  left join dmin d on m.district = d.d_district)
-            select mention_id,
-                   coalesce(area_postal, district_postal) as predicted_postal,
-                   case when area_postal is not null then 0.95
-                        when district_postal is not null then 0.60 end as prediction_confidence,
-                   case when area_postal is not null then 'area_exact'
-                        when district_postal is not null then 'district_min_code' end as prediction_source
-            from j where coalesce(area_postal, district_postal) is not null
+            missing as (select mention_id, lower(trim(area)) as akey,
+                               lower(trim(district)) as dkey
+                        from wide where postal_code is null or postal_code = ''),
+            up as (select lower(name) as k, lower(district) as d, code as c from {up_values}),
+            un as (select lower(name) as k, lower(district) as d, code as c from {un_values}),
+            vg as (select lower(name) as k, lower(district) as d, code as c from {vg_values}),
+            po as (select lower(post_office) as k, lower(district) as d, code as c from {po_values}),
+            dmin as (select lower(district) as k, min(code) as c from {po_values} group by 1),
+            cands as (
+              select m.mention_id, u.c as code, cast(0.95 as double) as confidence,
+                     'upazila_match' as source, 1 as prio, 0 as tb1
+              from missing m join up u on m.akey = u.k and (m.dkey = '' or m.dkey = u.d)
+                   and u.c != '' where m.akey != ''
+              union all
+              select m.mention_id, u.c, cast(0.90 as double), 'union_match', 2, 0
+              from missing m join un u on m.akey = u.k and (m.dkey = '' or m.dkey = u.d)
+                   and u.c != '' where m.akey != ''
+              union all
+              select m.mention_id, u.c, cast(0.85 as double), 'village_match', 3, 0
+              from missing m join vg u on m.akey = u.k and (m.dkey = '' or m.dkey = u.d)
+                   and u.c != '' where m.akey != ''
+              union all
+              select m.mention_id, p.c, cast(0.80 as double), 'post_office_match', 4, 0
+              from missing m join po p on m.akey = p.k and (m.dkey = '' or m.dkey = p.d)
+                   and p.c != '' where m.akey != ''
+              union all
+              select m.mention_id, p.c, cast(0.70 as double), 'fuzzy_area_match', 5,
+                     -length(p.k)
+              from missing m join po p
+                   on (strpos(m.akey, p.k) > 0 or strpos(p.k, m.akey) > 0)
+                   and (m.dkey = '' or m.dkey = p.d) and p.c != ''
+              where m.akey != ''
+              union all
+              select m.mention_id, dm.c, cast(0.60 as double), 'district_inference', 6, 0
+              from missing m join dmin dm on m.dkey = dm.k where m.dkey != ''),
+            r as (select *, row_number() over (partition by mention_id
+                         order by prio, tb1, code) as rn from cands)
+            select mention_id, code as predicted_postal,
+                   confidence as prediction_confidence, source as prediction_source
+            from r where rn = 1
+        """,
+        "j5_geo_proactive": f"""
+            with m as (
+              select lpad(cast(c_custkey as varchar),6,'0') as mention_id,
+                     c_custkey % 6 as g, c_custkey % 12 as g12
+              from customer),
+            tok as (select mention_id,
+                           (case g when 0 then 'savar' when 1 then 'dhamrai'
+                             when 2 then 'savarhat1' when 3 then 'patiyahat3'
+                             when 4 then NULL else 'savar' end) as key, g, g12
+                    from m),
+            has_area as (select mention_id from m where g = 5),
+            has_district as (select mention_id from m where g12 = 0),
+            up as (select lower(name) as k, name, district, division from {up_values}),
+            unn as (select lower(name) as k, name, district, division from {un_values}),
+            uhit as (select t.mention_id, u.name, u.district, u.division
+                     from tok t join up u on t.key = u.k
+                     where t.mention_id not in (select mention_id from has_area)),
+            nhit as (select t.mention_id, u.name, u.district, u.division
+                     from tok t join unn u on t.key = u.k
+                     where t.mention_id not in (select mention_id from has_area)
+                       and t.mention_id not in (select mention_id from uhit))
+            select mention_id, 'area' as component, name as value,
+                   cast(0.90 as double) as confidence,
+                   'geographic_upazila_extraction' as source from uhit
+            union all
+            select mention_id, 'district', district, cast(0.95 as double),
+                   'geographic_inferred_from_upazila' from uhit
+            where mention_id not in (select mention_id from has_district)
+            union all
+            select mention_id, 'division', division, cast(0.95 as double),
+                   'geographic_inferred_from_upazila' from uhit
+            union all
+            select mention_id, 'area', name, cast(0.85 as double),
+                   'geographic_union_extraction' from nhit
+            union all
+            select mention_id, 'district', district, cast(0.90 as double),
+                   'geographic_inferred_from_union' from nhit
+            where mention_id not in (select mention_id from has_district)
+            union all
+            select mention_id, 'division', division, cast(0.90 as double),
+                   'geographic_inferred_from_union' from nhit
+        """,
+        "j6_full_hierarchy": f"""
+            with df as (
+              select lpad(cast(c_custkey as varchar),6,'0') as mention_id,
+                     (case c_custkey % 6 when 0 then '1340' when 1 then '1342'
+                        when 2 then '4330' when 3 then '3170' when 4 then '1212'
+                        else '' end) as postal_code
+              from customer),
+            ul as (select upazila, string_agg(name, '|' order by name) as unions
+                   from {un_values} group by upazila),
+            dim as (select u.code, u.name as upazila, u.district, u.division,
+                           coalesce(ul.unions, '') as unions
+                    from (select * from {up_values}) u
+                    left join ul on u.name = ul.upazila)
+            select d.mention_id, d.postal_code, dim.upazila, dim.district,
+                   dim.division, dim.unions
+            from df d join dim on d.postal_code = dim.code
         """,
         "p2_candidate_pairs": """
             with c as (select lpad(cast(c_custkey as varchar),6,'0') as cid, c_nationkey as nk

@@ -1,0 +1,224 @@
+"""S3: the geo-hierarchy dimension family (upazila / union / village).
+
+The reference loads 8 nested division JSONs — two shape variants — into
+lookup dicts at init (``src/geo/bangladesh_geo_offline.py:58-173``;
+variant handling at ``:86-96``, dict-or-string villages at ``:152-156``).
+Real scale: 598 upazilas (each carrying a ``postalCode``), 3,215 unions,
+2,974 villages. In Spark the same family becomes three flat broadcast
+dimension tables produced by ``spark.read.json`` + ``explode`` — this
+module provides
+
+  * a **deterministic synthetic hierarchy** (FIXTURES.md F3 shape:
+    ~50 upazilas / 150 unions / 100 villages, Dhaka hot so skew
+    handling is exercised; every upazila's district exists in
+    ``gazetteer.DISTRICT_DIVISION``; postal codes unique per upazila),
+  * ``write_division_files`` — serializes it as per-division JSON in
+    BOTH reference shape variants (alternating), villages alternating
+    dict/plain-string form,
+  * ``load_geo_dims`` — the S3 scan: reads those files back with
+    ``spark.read.json`` and explodes them into the three flat dims
+    (tested equal to the constant-backed dims below),
+  * constant-backed dims ``upazilas_df`` / ``unions_df`` /
+    ``villages_df`` for operators and DuckDB oracles (no file I/O).
+
+All names/codes are synthetic or public administrative geography.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .gazetteer import DISTRICT_TO_DIVISION
+
+# (district, n_upazilas, postal_base) — Dhaka is the hot district
+# (20 of 50 upazilas) per FIXTURES.md F3's skew invariant. Postal bases
+# chosen so upazila codes never collide across districts or with the
+# gazetteer AREAS / POSTAL_CODES tables.
+_DISTRICT_PLAN: list[tuple[str, int, int]] = [
+    ("Dhaka", 20, 1340),
+    ("Chattogram", 6, 4330),
+    ("Sylhet", 4, 3170),
+    ("Rajshahi", 4, 6210),
+    ("Khulna", 4, 9240),
+    ("Barisal", 4, 8250),
+    ("Rangpur", 4, 5440),
+    ("Mymensingh", 4, 2280),
+]
+
+# A few real upazila names per district (public admin geography) for
+# realistic tokens; the remainder are generated single-token names so
+# substring/token matching in J5 is well-defined.
+_REAL_UPAZILAS: dict[str, list[str]] = {
+    "Dhaka": ["Savar", "Dhamrai", "Keraniganj", "Nawabganj", "Dohar"],
+    "Chattogram": ["Patiya", "Sitakunda", "Hathazari", "Raozan"],
+    "Sylhet": ["Beanibazar", "Golapganj"],
+    "Rajshahi": ["Paba", "Charghat"],
+    "Khulna": ["Dumuria", "Rupsa"],
+    "Barisal": ["Bakerganj", "Muladi"],
+    "Rangpur": ["Badarganj", "Kaunia"],
+    "Mymensingh": ["Trishal", "Bhaluka"],
+}
+
+
+def _build() -> tuple[list[tuple], list[tuple], list[tuple]]:
+    upazilas, unions, villages = [], [], []
+    for district, n_up, base in _DISTRICT_PLAN:
+        division = DISTRICT_TO_DIVISION[district]
+        seeds = _REAL_UPAZILAS[district]
+        for i in range(n_up):
+            name = seeds[i] if i < len(seeds) else f"{district}pur{i}"
+            code = str(base + 2 * i)
+            upazilas.append((name, district, division, code))
+            for j in range(1, 4):
+                unions.append((f"{name}hat{j}", name, district, division, code))
+            for j in range(1, 3):
+                villages.append(
+                    (f"{name}gram{j}", f"{name}hat1", name, district, division, code)
+                )
+    return upazilas, unions, villages
+
+
+# Flat constants — the ground truth the loader must reproduce.
+# upazilas: (name, district, division, postal_code)
+# unions:   (name, upazila, district, division, postal_code)
+# villages: (name, union, upazila, district, division, postal_code)
+UPAZILAS, UNIONS, VILLAGES = _build()
+
+UPAZILA_SCHEMA = "name string, district string, division string, postal_code string"
+UNION_SCHEMA = "name string, upazila string, district string, division string, postal_code string"
+VILLAGE_SCHEMA = ("name string, union_name string, upazila string, district string, "
+                  "division string, postal_code string")
+
+
+def upazilas_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(UPAZILAS, UPAZILA_SCHEMA)
+
+
+def unions_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(UNIONS, UNION_SCHEMA)
+
+
+def villages_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(VILLAGES, VILLAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JSON serialization (both reference shape variants) + the S3 scan
+
+
+def _division_tree(division: str) -> list[dict]:
+    """Nested district objects for one division."""
+    out = []
+    for district, n_up, _ in _DISTRICT_PLAN:
+        if DISTRICT_TO_DIVISION[district] != division:
+            continue
+        ups = []
+        for name, d, _dv, code in UPAZILAS:
+            if d != district:
+                continue
+            uns = []
+            for un, up, *_ in UNIONS:
+                if up != name:
+                    continue
+                vs = [v for v, u, *_ in VILLAGES if u == un]
+                uns.append({"name": un, "villages": vs})
+            ups.append({"name": name, "postalCode": code, "unions": uns})
+        out.append({"name": district, "division": division, "upazilas": ups})
+    return out
+
+
+def write_division_files(path: str) -> list[str]:
+    """Serialize the hierarchy as one JSON file per division,
+    alternating the reference's two shapes: even index → Format 1
+    ``{"division": ..., "districts": [...]}``, odd index → Format 2
+    (bare district list, division on each district). Village lists
+    likewise alternate struct vs plain-string form."""
+    os.makedirs(path, exist_ok=True)
+    files = []
+    divisions = sorted({DISTRICT_TO_DIVISION[d] for d, _, _ in _DISTRICT_PLAN})
+    for i, division in enumerate(divisions):
+        tree = _division_tree(division)
+        if i % 2 == 0:
+            # villages as structs in Format 1 files
+            for dist in tree:
+                for up in dist["upazilas"]:
+                    for un in up["unions"]:
+                        un["villages"] = [{"name": v} for v in un["villages"]]
+            data: object = {"division": division, "districts": tree}
+        else:
+            data = tree  # Format 2: bare list, plain-string villages
+        fp = os.path.join(path, f"bd-{division.lower()}-division.json")
+        with open(fp, "w", encoding="utf-8") as f:
+            json.dump(data, f, ensure_ascii=False)
+        files.append(fp)
+    return files
+
+
+def load_geo_dims(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """The S3 scan: nested division JSON → three flat dims.
+
+    Handles both shape variants the way the reference does
+    (``bangladesh_geo_offline.py:86-96``): dict root → take
+    ``districts``; list root → rows ARE districts (division read from
+    each district). Villages may be structs or plain strings
+    (``:152-156``). Dimension tables are tiny (≤ thousands of rows even
+    at the reference's real scale), so per-file schema dispatch on the
+    driver costs nothing; the output dims are meant to be broadcast.
+    """
+    import glob
+
+    up_frames, un_frames, vg_frames = [], [], []
+    for fp in sorted(glob.glob(os.path.join(path, "*.json"))):
+        df = spark.read.option("multiLine", True).json(fp)
+        if "districts" in df.columns:  # Format 1: {division, districts:[...]}
+            df = df.select(F.explode("districts").alias("d")).select(
+                F.col("d.name").alias("name"), F.col("d.division").alias("division"),
+                F.col("d.upazilas").alias("upazilas"),
+            )
+        else:  # Format 2: bare district list, division on each row
+            df = df.select("name", "division", "upazilas")
+        up = df.select(
+            F.col("name").alias("district"), "division",
+            F.explode("upazilas").alias("u"),
+        ).select(
+            F.col("u.name").alias("name"), "district", "division",
+            F.col("u.postalCode").alias("postal_code"),
+            F.col("u.unions").alias("unions"),
+        )
+        up_frames.append(up.select("name", "district", "division", "postal_code"))
+        un = up.select(
+            F.col("name").alias("upazila"), "district", "division", "postal_code",
+            F.explode("unions").alias("un"),
+        )
+        un_frames.append(un.select(
+            F.col("un.name").alias("name"), "upazila", "district", "division",
+            "postal_code",
+        ))
+        vg = un.select(
+            F.col("un.name").alias("union_name"), "upazila", "district", "division",
+            "postal_code", F.explode("un.villages").alias("v"),
+        )
+        # villages: struct {name} in Format 1 files, plain string in
+        # Format 2 — normalize per file before any union
+        vname = (F.col("v.name") if dict(vg.dtypes)["v"].startswith("struct")
+                 else F.col("v"))
+        vg_frames.append(vg.select(
+            vname.alias("name"), "union_name", "upazila", "district", "division",
+            "postal_code",
+        ))
+
+    def _union_all(frames):
+        out = frames[0]
+        for f2 in frames[1:]:
+            out = out.unionByName(f2)
+        return out
+
+    return {
+        "upazilas": _union_all(up_frames),
+        "unions": _union_all(un_frames),
+        "villages": _union_all(vg_frames),
+    }

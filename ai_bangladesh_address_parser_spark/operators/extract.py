@@ -99,10 +99,20 @@ def _tier_structs(text: Column, tiers: list[tuple[str, str, int, float]], source
 def _positional_postal(text: Column, source: str, conf: float) -> Column:
     """Standalone 4-digit postal, only if the match ends past 50% of the
     string (fsm_parser.py:53-58 positional rule; postal_code_processor.py
-    position tiers)."""
-    val = F.regexp_extract(text, r"(?U)\b(\d{4})\b", 1)
-    # end position of first match: locate + 4 - 1 (1-based instr)
-    pos_end = F.instr(text, val) + F.lit(3)
+    position tiers).
+
+    The reference checks ``match.end()`` of the FIRST regex match. The
+    old ``instr(text, val)`` located the first *substring* occurrence
+    instead, which diverges when the 4-digit value appears earlier
+    inside a longer digit run (``"12123 Building, Dhaka 1212"``:
+    ``\\b\\d{4}\\b`` matches the trailing 1212, but ``instr`` finds the
+    1212 inside 12123 and mis-positions it). ``regexp_instr`` returns
+    the regex match start — same pattern, same occurrence.
+    """
+    pat = r"(?U)\b(\d{4})\b"
+    val = F.regexp_extract(text, pat, 1)
+    # 1-based match start + 4 digits - 1 = Python match.end()
+    pos_end = F.regexp_instr(text, F.lit(pat)) + F.lit(3)
     # try_cast: "" → null (a plain cast throws under ANSI mode, the
     # Spark 4 default — boolean AND does not short-circuit in codegen)
     ok = (val != "") & (pos_end > F.length(text) * 0.5) & (val.try_cast("int") >= 1000)
@@ -247,14 +257,18 @@ def gazetteer_evidence(evidence: DataFrame) -> DataFrame:
     postals = F.broadcast(gz.postal_codes_df(spark))
 
     # one row per mention; fanned out to six enrichment branches below —
-    # persist so the evidence aggregation runs once, not six times (the
-    # cluster-scale analogue materializes this at an Iceberg stage
-    # boundary, see plans.pipeline.StageStore)
+    # cut lineage so the evidence aggregation runs once, not six times
+    # (the cluster-scale analogue materializes this at an Iceberg stage
+    # boundary, see plans.pipeline.StageStore). localCheckpoint, not
+    # persist: persist() registers the fully-analyzed plan with the
+    # CacheManager and is never released by callers (long-running
+    # drivers — e.g. streaming foreachBatch — would accumulate entries
+    # per invocation); localCheckpoint leaves nothing registered.
     first_ev = (
         evidence.groupBy("mention_id")
         .pivot("component", ["area", "district", "postal_code"])
         .agg(F.max_by("value", F.struct("confidence", "value")))
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
     a = first_ev.join(areas, first_ev.area == areas.area, "inner")
@@ -329,20 +343,34 @@ def fuzzy_area_evidence(
     ≥ 0.7; confidence 0.75. Spark shape: anti-join to the no-area
     subset → token explode → broadcast equi-join on the prefix key
     (the fuzzy family collapses to a hash join on a coarse key + a
-    cheap expression filter — no pairwise scan)."""
+    cheap expression filter — no pairwise scan). Short area names
+    (length 4-5) additionally key on a 3-char prefix, mirroring the
+    reference's short-name rule — misspellings of short areas are
+    otherwise unreachable."""
     has_area = evidence.filter(F.col("component") == "area").select("mention_id").distinct()
     no_area = mentions.select(F.col(id_col).alias("mention_id"), F.col(text_col)).join(
         has_area, "mention_id", "left_anti"
     )
     toks = _token_candidates(no_area, "mention_id", text_col).select(
         "mention_id", F.col("key")
-    ).filter(F.length("key") >= 4)
+    ).filter(F.length("key") >= 3)
+    # tokens carry both prefix widths; 3-char tokens only the short key
+    toks = toks.select(
+        "mention_id", "key",
+        F.explode(
+            F.when(F.length("key") >= 4,
+                   F.array(F.substring("key", 1, 4), F.substring("key", 1, 3)))
+            .otherwise(F.array(F.substring("key", 1, 3)))
+        ).alias("pfx"),
+    )
 
     spark = mentions.sparkSession
-    areas = gz.areas_df(spark).select(
-        F.lower("area").alias("area_lc"), "area"
-    ).withColumn("pfx", F.substring("area_lc", 1, 4))
-    cand = toks.withColumn("pfx", F.substring("key", 1, 4)).join(
+    areas_base = gz.areas_df(spark).select(F.lower("area").alias("area_lc"), "area")
+    areas = areas_base.withColumn("pfx", F.substring("area_lc", 1, 4)).unionByName(
+        areas_base.filter(F.length("area_lc").between(4, 5))
+        .withColumn("pfx", F.substring("area_lc", 1, 3))
+    )
+    cand = toks.join(
         F.broadcast(areas), "pfx"
     ).filter(F.col("key") != F.col("area_lc"))  # exact hits belong to vocab_evidence
 
@@ -364,36 +392,209 @@ def fuzzy_area_evidence(
 
 
 def predict_postal(wide: DataFrame, id_col: str = "mention_id") -> DataFrame:
-    """J4: postal-code prediction cascade for rows missing a postal —
-    priority coalesce over left broadcast joins, highest-priority
-    source wins (bangladesh_geo_offline.py:221-338 semantics, folded to
-    the dims this engine ships: area exact 0.95 → district min-code
-    0.60). Returns (mention_id, predicted_postal, prediction_confidence,
+    """J4: the full 6-priority postal-prediction cascade for rows
+    missing a postal code (bangladesh_geo_offline.py:221-338):
+
+      1. upazila exact match        0.95  'upazila_match'
+      2. union exact match          0.90  'union_match'
+      3. village exact match        0.85  'village_match'
+      4. post-office exact match    0.80  'post_office_match'
+      5. fuzzy post-office overlap  0.70  'fuzzy_area_match'
+         (area contains PO name or PO name contains area, ``:313-318``)
+      6. district min postal code   0.60  'district_inference'
+
+    Every priority is gated on district consistency when the mention
+    carries a district (``:247-249`` etc.). Physical shape: six
+    broadcast joins produce candidate rows tagged with a priority
+    rank, then ONE shuffle resolves the argmin per mention — no
+    priority-by-priority re-aggregation. Tie-breaks are pinned (the
+    reference relies on dict iteration order): within priority 4/6
+    min code; within 5 longest post-office name then min code.
+
+    Returns (mention_id, predicted_postal, prediction_confidence,
     prediction_source); rows with no prediction are absent."""
+    from ..data import geo_hierarchy as gh
+
     spark = wide.sparkSession
-    areas = F.broadcast(gz.areas_df(spark).select(
-        F.col("area").alias("a_area"), F.col("postal_code").alias("area_postal")
-    ))
-    district_min = F.broadcast(
-        gz.postal_codes_df(spark)
-        .groupBy("district")
-        .agg(F.min("code").alias("district_postal"))
-        .select(F.col("district").alias("d_district"), "district_postal")
+    base = wide.select(
+        F.col(id_col).alias("mention_id"),
+        "postal_code",
+        F.lower(F.trim(F.coalesce(F.col("area"), F.lit("")))).alias("akey"),
+        F.lower(F.trim(F.coalesce(F.col("district"), F.lit("")))).alias("dkey"),
     )
-    base = wide.select(F.col(id_col).alias("mention_id"), "postal_code", "area", "district")
     missing = base.filter(F.col("postal_code").isNull() | (F.col("postal_code") == ""))
-    j = (
-        missing.join(areas, missing.area == areas.a_area, "left")
-        .join(district_min, missing.district == district_min.d_district, "left")
+
+    def gate(dim_district):
+        return (F.col("dkey") == "") | (F.col("dkey") == F.lower(dim_district))
+
+    def cand(df, dim, dim_key, dim_district, dim_code, prio, conf, source, tb1=None):
+        j = df.join(F.broadcast(dim), (F.col("akey") == dim_key) & gate(dim_district)
+                    & (dim_code != ""), "inner")
+        return j.select(
+            "mention_id", dim_code.alias("code"),
+            F.lit(conf).alias("confidence"), F.lit(source).alias("source"),
+            F.lit(prio).alias("prio"), (tb1 if tb1 is not None else F.lit(0)).alias("tb1"),
+        )
+
+    has_area = missing.filter(F.col("akey") != "")
+    up = gh.upazilas_df(spark).select(
+        F.lower("name").alias("k"), F.col("district").alias("d"), F.col("postal_code").alias("c"))
+    un = gh.unions_df(spark).select(
+        F.lower("name").alias("k"), F.col("district").alias("d"), F.col("postal_code").alias("c"))
+    vg = gh.villages_df(spark).select(
+        F.lower("name").alias("k"), F.col("district").alias("d"), F.col("postal_code").alias("c"))
+    po = gz.postal_codes_df(spark).select(
+        F.lower("post_office").alias("k"), F.col("district").alias("d"), F.col("code").alias("c"))
+
+    c1 = cand(has_area, up, F.col("k"), F.col("d"), F.col("c"), 1, 0.95, "upazila_match")
+    c2 = cand(has_area, un, F.col("k"), F.col("d"), F.col("c"), 2, 0.90, "union_match")
+    c3 = cand(has_area, vg, F.col("k"), F.col("d"), F.col("c"), 3, 0.85, "village_match")
+    c4 = cand(has_area, po, F.col("k"), F.col("d"), F.col("c"), 4, 0.80, "post_office_match")
+
+    # priority 5: containment either way vs the post-office index — a
+    # broadcast nested-loop over a dimension of O(1k) rows, applied only
+    # to the missing-postal subset (the reference scans the same index
+    # per address; ``:307-318``)
+    c5 = (
+        has_area.join(
+            F.broadcast(po),
+            (F.col("akey").contains(F.col("k")) | F.col("k").contains(F.col("akey")))
+            & ((F.col("dkey") == "") | (F.col("dkey") == F.lower(F.col("d"))))
+            & (F.col("c") != ""),
+            "inner",
+        )
+        .select(
+            "mention_id", F.col("c").alias("code"),
+            F.lit(0.70).alias("confidence"), F.lit("fuzzy_area_match").alias("source"),
+            F.lit(5).alias("prio"), (-F.length("k")).alias("tb1"),
+        )
     )
-    return j.select(
+
+    dmin = gz.postal_codes_df(spark).groupBy(F.lower("district").alias("k")).agg(
+        F.min("code").alias("c"))
+    c6 = (
+        missing.filter(F.col("dkey") != "")
+        .join(F.broadcast(dmin), F.col("dkey") == F.col("k"), "inner")
+        .select(
+            "mention_id", F.col("c").alias("code"),
+            F.lit(0.60).alias("confidence"), F.lit("district_inference").alias("source"),
+            F.lit(6).alias("prio"), F.lit(0).alias("tb1"),
+        )
+    )
+
+    cands = c1.unionByName(c2).unionByName(c3).unionByName(c4).unionByName(c5).unionByName(c6)
+    best = cands.groupBy("mention_id").agg(
+        F.min_by(
+            F.struct("code", "confidence", "source"),
+            F.struct("prio", "tb1", "code"),
+        ).alias("b")
+    )
+    return best.select(
         "mention_id",
-        F.coalesce(F.col("area_postal"), F.col("district_postal")).alias("predicted_postal"),
-        F.when(F.col("area_postal").isNotNull(), 0.95)
-         .when(F.col("district_postal").isNotNull(), 0.60).alias("prediction_confidence"),
-        F.when(F.col("area_postal").isNotNull(), F.lit("area_exact"))
-         .when(F.col("district_postal").isNotNull(), F.lit("district_min_code")).alias("prediction_source"),
-    ).filter(F.col("predicted_postal").isNotNull())
+        F.col("b.code").alias("predicted_postal"),
+        F.col("b.confidence").alias("prediction_confidence"),
+        F.col("b.source").alias("prediction_source"),
+    )
+
+
+def geo_evidence(
+    mentions: DataFrame,
+    evidence: DataFrame,
+    id_col: str = "mention_id",
+    text_col: str = "normalized",
+) -> DataFrame:
+    """J5: proactive geo extraction (geographic_validator.py:171-229).
+
+    For mentions with NO area evidence, scan the text for an upazila
+    name (area 0.90, 'geographic_upazila_extraction'; auto-fill
+    district/division 0.95 'geographic_inferred_from_upazila' when those
+    are missing too); if no upazila hits, fall back to union names
+    (area 0.85 'geographic_union_extraction', district/division 0.90
+    'geographic_inferred_from_union').
+
+    Spark shape: one token explode of the no-area subset, two broadcast
+    hash joins against the upazila/union dims (the reference's
+    substring scan over dicts, restricted to token boundaries), then a
+    per-mention argmax. The reference takes the first dict hit — we pin
+    the total order (longest name, then greatest name).
+    """
+    from ..data import geo_hierarchy as gh
+
+    spark = mentions.sparkSession
+
+    def has(comp: str) -> DataFrame:
+        return (evidence.filter(F.col("component") == comp)
+                .select("mention_id").distinct())
+
+    no_area = mentions.select(F.col(id_col).alias("mention_id"), F.col(text_col)).join(
+        has("area"), "mention_id", "left_anti"
+    )
+    toks = _token_candidates(no_area, "mention_id", text_col).select("mention_id", "key")
+
+    def hits(dim: DataFrame) -> DataFrame:
+        d = dim.select(F.lower("name").alias("k"), "name", "district", "division")
+        return (
+            toks.join(F.broadcast(d), toks.key == d.k, "inner")
+            .groupBy("mention_id")
+            .agg(F.max_by(
+                F.struct("name", "district", "division"),
+                F.struct(F.length("name"), F.col("name")),
+            ).alias("m"))
+        )
+
+    uhits = hits(gh.upazilas_df(spark))
+    nhits = hits(gh.unions_df(spark)).join(uhits.select("mention_id"), "mention_id", "left_anti")
+
+    def emit(src_hits, comp, value_col, conf, source, only_missing=None):
+        out = src_hits
+        if only_missing:
+            out = out.join(has(only_missing), "mention_id", "left_anti")
+        return out.select(
+            "mention_id", F.lit(comp).alias("component"),
+            F.col(value_col).alias("value"),
+            F.lit(conf).alias("confidence"), F.lit(source).alias("source"),
+        )
+
+    return (
+        emit(uhits, "area", "m.name", 0.90, "geographic_upazila_extraction")
+        .unionByName(emit(uhits, "district", "m.district", 0.95,
+                          "geographic_inferred_from_upazila", "district"))
+        .unionByName(emit(uhits, "division", "m.division", 0.95,
+                          "geographic_inferred_from_upazila", "division"))
+        .unionByName(emit(nhits, "area", "m.name", 0.85, "geographic_union_extraction"))
+        .unionByName(emit(nhits, "district", "m.district", 0.90,
+                          "geographic_inferred_from_union", "district"))
+        .unionByName(emit(nhits, "division", "m.division", 0.90,
+                          "geographic_inferred_from_union", "division"))
+    )
+
+
+def full_hierarchy(df: DataFrame, postal_col: str = "postal_code",
+                   id_col: str = "mention_id") -> DataFrame:
+    """J6: postal code → full hierarchy (upazila, district, division,
+    union list) via one broadcast join (bangladesh_geo_offline.py:
+    340-354). Union list is sorted and pipe-joined so the output is a
+    flat, engine-portable string."""
+    from ..data import geo_hierarchy as gh
+
+    spark = df.sparkSession
+    un_list = gh.unions_df(spark).groupBy("upazila").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("name"))).alias("unions")
+    )
+    up = gh.upazilas_df(spark)
+    dim = F.broadcast(
+        up.join(un_list, up.name == un_list.upazila, "left").select(
+            F.col("postal_code").alias("h_postal"),
+            F.col("name").alias("upazila"),
+            "district", "division",
+            F.coalesce("unions", F.lit("")).alias("unions"),
+        )
+    )
+    return df.join(dim, F.col(postal_col) == F.col("h_postal"), "inner").select(
+        F.col(id_col).alias("mention_id"),
+        F.col(postal_col).alias("postal_code"),
+        "upazila", "district", "division", "unions",
+    )
 
 
 def consistency_conflicts(wide: DataFrame, id_col: str = "mention_id") -> DataFrame:
@@ -443,17 +644,20 @@ def extract_evidence(
     """Full stage 3-7 evidence generation. Input must already carry the
     normalized text column (see functions.normalize.normalize_expr).
 
-    ``materialize`` persists the first-pass evidence before the
+    ``materialize`` cuts lineage on the first-pass evidence before the
     gazetteer enrichment fans out over it (6 broadcast-join branches) —
     without it the regex battery is re-evaluated per branch and the
-    logical plan grows combinatorially."""
+    logical plan grows combinatorially. localCheckpoint rather than
+    persist(): nothing stays registered with the CacheManager, so
+    repeated invocations in one driver (streaming micro-batches) don't
+    accumulate cached plans."""
     base = regex_evidence(mentions, id_col, text_col).unionByName(
         vocab_evidence(mentions, id_col, text_col)
     )
     if materialize:
-        base = base.persist()
+        base = base.localCheckpoint(eager=False)
     fuzzy = fuzzy_area_evidence(mentions, base, id_col, text_col)
     first_pass = base.unionByName(fuzzy)
     if materialize:
-        first_pass = first_pass.persist()
+        first_pass = first_pass.localCheckpoint(eager=False)
     return first_pass.unionByName(gazetteer_evidence(first_pass))

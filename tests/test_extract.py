@@ -128,14 +128,14 @@ def test_predict_postal_cascade(spark):
     from ai_bangladesh_address_parser_spark.operators.extract import predict_postal
 
     wide = spark.createDataFrame(
-        [("p1", "", "Gulshan", "Dhaka"),        # area exact → 1212 @0.95
+        [("p1", "", "Gulshan", "Dhaka"),        # post-office → 1212 @0.80
          ("p2", "", "", "Chattogram"),           # district min → 4000 @0.60
          ("p3", "1209", "Dhanmondi", "Dhaka"),   # has postal → absent
          ("p4", "", "", "Atlantis")],            # unknown → absent
         ["mention_id", "postal_code", "area", "district"],
     )
     out = {r.mention_id: r for r in predict_postal(wide).collect()}
-    assert out["p1"].predicted_postal == "1212" and out["p1"].prediction_source == "area_exact"
+    assert out["p1"].predicted_postal == "1212" and out["p1"].prediction_source == "post_office_match"
     assert out["p2"].predicted_postal == "4000" and out["p2"].prediction_confidence == 0.60
     assert "p3" not in out and "p4" not in out
 
