@@ -453,8 +453,11 @@ def q_a4_confidence_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a5_gazetteer_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5/S2: gazetteer aggregation — mode district + frequency-ranked
-    postal per area over synthesized labeled records."""
+    """A5/S2: full gazetteer build — mode district/division,
+    frequency-ranked postal list, dominance share + confidence
+    (build_gazetteer over synthesized labeled records)."""
+    from ai_bangladesh_address_parser_spark.operators.gazetteer_build import build_gazetteer
+
     o = _t(spark, sf_dir, "orders")
     area_arr = F.array(*[F.lit(a) for a, _ in _SYN_AREAS])
     postal_arr = F.array(*[F.lit(p) for _, p in _SYN_AREAS])
@@ -462,18 +465,20 @@ def q_a5_gazetteer_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = o.select(
         F.element_at(area_arr, idx).alias("area"),
         F.lit("Dhaka").alias("district"),
-        # 20% of records carry the alternate postal 9999 → a real
-        # frequency ranking with a deterministic winner
+        F.lit("Dhaka").alias("division"),
+        # 20% of records carry the alternate postal 9999 and Gulshan a
+        # third code → real frequency rankings with deterministic
+        # winners and shares straddling the 0.6/0.8 dominance rungs
         F.when(F.col("o_orderkey") % 5 == 0, F.lit("9999"))
+        .when((F.col("o_orderkey") % 4 == 0) & (F.col("o_custkey") % 5 == 0), F.lit("1000"))
         .otherwise(F.element_at(postal_arr, idx)).alias("postal_code"),
     )
-    per_postal = rec.groupBy("area", "postal_code").agg(F.count(F.lit(1)).alias("cnt"))
-    top_postal = (
-        per_postal.groupBy("area")
-        .agg(F.max_by("postal_code", F.struct(F.col("cnt"), F.col("postal_code"))).alias("top_postal"),
-             F.sum("cnt").alias("n_records"))
-    )
-    return top_postal.select("area", "top_postal", "n_records").orderBy("area")
+    g = build_gazetteer(rec)
+    return g.select(
+        "area", "district", "division", "postal_codes", "top_postal",
+        "n_postals", "n_records", F.round("top_share", 6).alias("top_share"),
+        "postal_confidence",
+    ).orderBy("area")
 
 
 # J: lookup / enrichment joins
@@ -1039,21 +1044,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a5_gazetteer_build": f"""
             with rec as (
-              select (case o_custkey % 5 when 0 then 'Gulshan' when 1 then 'Banani'
+              select lower(case o_custkey % 5 when 0 then 'Gulshan' when 1 then 'Banani'
                        when 2 then 'Dhanmondi' when 3 then 'Uttara' else 'Mirpur' end) as area,
                      case when o_orderkey % 5 = 0 then '9999'
+                          when o_orderkey % 4 = 0 and o_custkey % 5 = 0 then '1000'
                           else (case o_custkey % 5 when 0 then '1212' when 1 then '1213'
                                  when 2 then '1209' when 3 then '1230' else '1216' end) end as postal_code
               from orders),
             per_postal as (select area, postal_code, count(*) as cnt
                            from rec group by area, postal_code),
+            codes as (select area,
+                             string_agg(postal_code, '|'
+                               order by cnt desc, postal_code asc) as postal_codes
+                      from per_postal group by area),
             ranked as (select *, row_number() over (partition by area
-                              order by cnt desc, postal_code desc) as rn,
-                              sum(cnt) over (partition by area) as n_records
-                       from per_postal)
-            select area, postal_code as top_postal,
-                   cast(n_records as bigint) as n_records
-            from ranked where rn = 1 order by area
+                              order by cnt desc, postal_code asc) as rn,
+                              sum(cnt) over (partition by area) as n_records,
+                              count(*) over (partition by area) as n_postals
+                       from per_postal),
+            top as (select r.area, r.postal_code as top_postal, r.cnt, r.n_records,
+                           r.n_postals, c.postal_codes
+                    from ranked r join codes c on r.area = c.area
+                    where r.rn = 1)
+            select area, 'Dhaka' as district, 'Dhaka' as division, postal_codes,
+                   top_postal,
+                   cast(n_postals as bigint) as n_postals,
+                   cast(n_records as bigint) as n_records,
+                   round(cast(cnt as double) / n_records, 6) as top_share,
+                   cast(case when n_postals = 1 or cnt * 1.0 / n_records >= 0.8 then 0.98
+                        when cnt * 1.0 / n_records >= 0.6 then 0.95
+                        else 0.90 end as double) as postal_confidence
+            from top order by area
         """,
         "j1_gazetteer_enrich": f"""
             with m as (

@@ -35,6 +35,27 @@ def minhash_tokens_expr(text_col: str):
     return F.expr(f"filter(split(lower(`{text_col}`), '[\\\\s,]+'), t -> t != '')")
 
 
+def minhash_shingles_expr(text_col: str, k: int = 3):
+    """3-token shingles over the token stream (the banding unit).
+
+    Distinct UNIGRAMS saturate on long texts over a common vocabulary —
+    every long page ends up with the same token set, hence the same
+    signature, hence one mega-block per band (measured: 4 blocks of
+    ~2,650 nodes = 15 M junk pairs at the sf0.1 bench). Shingles keep
+    word ORDER and locality, so long near-identical texts still
+    collide while unrelated texts over the same vocabulary do not —
+    the same reason ``operators.dedup`` shingles before minhashing.
+    Short mentions (< k tokens) fall back to one whole-text shingle.
+    """
+    toks = minhash_tokens_expr(text_col)
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    return F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
 def minhash_band_keys(
     mentions: DataFrame,
     id_col: str = "mention_id",
@@ -55,7 +76,7 @@ def minhash_band_keys(
     r = n_seeds // n_bands
     toks = mentions.select(
         F.col(id_col).alias("mention_id"),
-        F.explode(F.array_distinct(minhash_tokens_expr(text_col))).alias("w"),
+        F.explode(F.array_distinct(minhash_shingles_expr(text_col))).alias("w"),
     )
     seeded = toks.select(
         "mention_id", F.explode(F.array(*[F.lit(i) for i in range(n_seeds)])).alias("seed"), "w"
@@ -86,33 +107,84 @@ def blocking_keys(
     text_col: str = "normalized",
     postal_col: str = "postal_code",
     district_col: str = "district",
+    house_col: str = "house_number",
+    area_col: str = "area",
     use_minhash: bool = True,
 ) -> DataFrame:
-    """→ (mention_id, block_key), one row per key the mention blocks on."""
+    """→ (mention_id, block_key), one row per key the mention blocks on.
+
+    District keys are COMPOSITE: ``d:<soundex(district)>:h:<house>`` and
+    ``d:<soundex(district)>:a:<soundex(area)>``. A bare district key is
+    quadratic at corpus scale — with 64 districts, ~n/64 of a Common-
+    Crawl-sized corpus lands in the ``Dhaka`` block and the pair count
+    grows O(n²/64) even under pair-preserving salting (measured: 13.9 M
+    candidate pairs from 11 k mentions at sf0.1). Duplicate mentions of
+    one entity share house and/or canonical area after extraction, so
+    the composite keys preserve those pairs while block sizes drop to
+    O(n / (64 · |house-or-area values|)). The bare ``d:<soundex>`` key
+    survives ONLY for mentions with no postal, no house, and no area —
+    the last-resort bucket, a vanishing fraction of real pages.
+    """
+    have = set(mentions.columns)
+    nonempty = lambda c: F.col(c).isNotNull() & (F.col(c) != "")  # noqa: E731
     keys = F.array()
     if postal_col:
         keys = F.concat(
             keys,
             F.when(
-                F.col(postal_col).isNotNull() & (F.col(postal_col) != ""),
+                nonempty(postal_col),
                 F.array(F.concat(F.lit("p:"), F.col(postal_col))),
             ).otherwise(F.array()),
         )
     if district_col:
+        sdx = F.soundex(F.col(district_col))
+        use_house = house_col and house_col in have
+        use_area = area_col and area_col in have
+        if use_house:
+            keys = F.concat(
+                keys,
+                F.when(
+                    nonempty(district_col) & nonempty(house_col),
+                    F.array(F.concat(F.lit("d:"), sdx, F.lit(":h:"), F.col(house_col))),
+                ).otherwise(F.array()),
+            )
+        if use_area:
+            keys = F.concat(
+                keys,
+                F.when(
+                    nonempty(district_col) & nonempty(area_col),
+                    F.array(F.concat(F.lit("d:"), sdx, F.lit(":a:"),
+                                     F.soundex(F.col(area_col)))),
+                ).otherwise(F.array()),
+            )
+        bare_ok = nonempty(district_col)
+        if postal_col:
+            bare_ok = bare_ok & ~nonempty(postal_col)
+        if use_house:
+            bare_ok = bare_ok & ~nonempty(house_col)
+        if use_area:
+            bare_ok = bare_ok & ~nonempty(area_col)
         keys = F.concat(
             keys,
-            F.when(
-                F.col(district_col).isNotNull() & (F.col(district_col) != ""),
-                F.array(F.concat(F.lit("d:"), F.soundex(F.col(district_col)))),
-            ).otherwise(F.array()),
+            F.when(bare_ok, F.array(F.concat(F.lit("d:"), sdx))).otherwise(F.array()),
         )
     out = (
         mentions.select(F.col(id_col).alias("mention_id"), F.explode(F.array_distinct(keys)).alias("block_key"))
         .distinct()
     )
     if use_minhash:
+        # Band keys only for mentions with NO postal key: a postal-
+        # carrying mention is already precisely blocked, and token-band
+        # LSH over well-extracted mentions mass-pairs same-area
+        # addresses (J≈0.5-0.6 → band collision ~40%), which measured
+        # as the dominant pair volume (16M of 18M upper-bound pairs at
+        # the sf0.1 bench). LSH stays the recall net for mentions the
+        # extractor could NOT structure — its actual job.
+        mh_in = mentions
+        if postal_col and postal_col in have:
+            mh_in = mentions.filter(~nonempty(postal_col))
         out = out.unionByName(
-            minhash_band_keys(mentions, id_col=id_col, text_col=text_col)
+            minhash_band_keys(mh_in, id_col=id_col, text_col=text_col)
         ).distinct()
     return out
 

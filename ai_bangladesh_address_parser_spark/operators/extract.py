@@ -243,18 +243,38 @@ def vocab_evidence(mentions: DataFrame, id_col: str = "mention_id", text_col: st
     return dist_ev.unionByName(area_ev).unionByName(div_ev)
 
 
-def gazetteer_evidence(evidence: DataFrame) -> DataFrame:
+def gazetteer_evidence(evidence: DataFrame, gazetteer: DataFrame | None = None) -> DataFrame:
     """Stage 6/7 enrichment (J1/J3/J4): join first-pass evidence against
     the gazetteer dims and emit inferred/validated evidence.
 
     Models gazetteer.py:379-541: area hit → area validated 0.98, fill
-    district 0.95, fill division 0.95, predict postal (single known code
-    → 0.98); postal in valid list → 0.99; district → division 0.95.
+    district 0.95, fill division 0.95; postal in valid list → 0.99;
+    district → division 0.95; predict postal with dominance-based
+    confidence (gazetteer.py:460-480: single code or ≥80% share → 0.98,
+    ≥60% → 0.95, else 0.90).
+
+    ``gazetteer``: output of ``operators.gazetteer_build.build_gazetteer``
+    over a labeled corpus — the real dominance path. When None, the
+    constant areas dim backs the join with one code per area (dominance
+    degenerates to the single-code 0.98 rule).
     """
     spark = evidence.sparkSession
-    areas = F.broadcast(gz.areas_df(spark))
     dd = F.broadcast(gz.district_division_df(spark))
     postals = F.broadcast(gz.postal_codes_df(spark))
+    if gazetteer is None:
+        adim = gz.areas_df(spark).select(
+            F.lower("area").alias("a_key"),
+            F.col("district").alias("a_district"),
+            F.col("postal_code").alias("a_top_postal"),
+            F.lit(0.98).alias("a_postal_conf"),
+        )
+    else:
+        adim = gazetteer.select(
+            F.col("area").alias("a_key"),
+            F.col("district").alias("a_district"),
+            F.col("top_postal").alias("a_top_postal"),
+            F.coalesce("postal_confidence", F.lit(0.90)).alias("a_postal_conf"),
+        )
 
     # one row per mention; fanned out to six enrichment branches below —
     # cut lineage so the evidence aggregation runs once, not six times
@@ -271,24 +291,26 @@ def gazetteer_evidence(evidence: DataFrame) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    a = first_ev.join(areas, first_ev.area == areas.area, "inner")
+    a = first_ev.join(F.broadcast(adim), F.lower(first_ev.area) == F.col("a_key"), "inner")
     area_validated = a.select(
         "mention_id", F.lit("area").alias("component"), first_ev.area.alias("value"),
         F.lit(0.98).alias("confidence"), F.lit("gazetteer_validated").alias("source"),
     )
-    district_filled = a.select(
-        "mention_id", F.lit("district").alias("component"), areas.district.alias("value"),
+    district_filled = a.filter(F.col("a_district") != "").select(
+        "mention_id", F.lit("district").alias("component"), F.col("a_district").alias("value"),
         F.when(first_ev.district.isNull(), 0.95)
-         .when(first_ev.district == areas.district, 0.95)
+         .when(first_ev.district == F.col("a_district"), 0.95)
          .otherwise(0.90).alias("confidence"),
-        F.when(first_ev.district.isNull() | (first_ev.district == areas.district),
+        F.when(first_ev.district.isNull() | (first_ev.district == F.col("a_district")),
                F.lit("gazetteer_validated"))
          .otherwise(F.lit("gazetteer_corrected")).alias("source"),
     )
-    postal_pred = a.filter(first_ev.postal_code.isNull()).select(
+    postal_pred = a.filter(
+        first_ev.postal_code.isNull() & F.col("a_top_postal").isNotNull()
+    ).select(
         "mention_id", F.lit("postal_code").alias("component"),
-        areas.postal_code.alias("value"),
-        F.lit(0.98).alias("confidence"),  # single known code per area → dominance 0.98
+        F.col("a_top_postal").alias("value"),
+        F.col("a_postal_conf").alias("confidence"),  # dominance rule
         F.lit("gazetteer_validated").alias("source"),
     )
     postal_validated = (
@@ -312,7 +334,7 @@ def gazetteer_evidence(evidence: DataFrame) -> DataFrame:
     # reference fills division whenever the gazetteer resolves a district
     # (gazetteer.py:418-439)
     division_from_area = (
-        a.join(dd, areas.district == dd.district, "inner")
+        a.join(dd, F.col("a_district") == dd.district, "inner")
         .select(
             "mention_id", F.lit("division").alias("component"),
             dd.division.alias("value"), F.lit(0.95).alias("confidence"),
@@ -640,6 +662,7 @@ def extract_evidence(
     id_col: str = "mention_id",
     text_col: str = "normalized",
     materialize: bool = True,
+    gazetteer: DataFrame | None = None,
 ) -> DataFrame:
     """Full stage 3-7 evidence generation. Input must already carry the
     normalized text column (see functions.normalize.normalize_expr).
@@ -660,4 +683,4 @@ def extract_evidence(
     first_pass = base.unionByName(fuzzy)
     if materialize:
         first_pass = first_pass.localCheckpoint(eager=False)
-    return first_pass.unionByName(gazetteer_evidence(first_pass))
+    return first_pass.unionByName(gazetteer_evidence(first_pass, gazetteer=gazetteer))

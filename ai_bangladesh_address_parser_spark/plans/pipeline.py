@@ -31,18 +31,27 @@ from pyspark.sql import functions as F
 
 from ..functions.normalize import norm_key_expr, normalize_expr
 
-# Mention harvesting: pull the address-looking span out of the page
+# Mention harvesting: pull the address-looking spans out of the page
 # text. Anchored on the address-start keywords the reference's pattern
 # tiers open with (house/holding/plot/flat + Bangla forms, SURVEY.md
-# §2.2 T4/T9); the span runs to the first sentence terminator. Pages
-# with no span fall back to the full text so nothing is dropped
-# silently. One codegen'd regexp_extract — no Python.
+# §2.2 T4/T9); each span runs to the next sentence terminator. FIXTURES
+# F1 specifies 0..n embedded mentions per page — ALL spans are
+# harvested (regexp_extract_all + posexplode), not just the first.
+# Pages with no span fall back to the full text so nothing is dropped
+# silently. One codegen'd projection — no Python.
 _MENTION_PATTERN = (
     r"(?iU)((?:house|holding|plot|flat|h\s?-|বাড়ি|বাসা|ফ্ল্যাট)[^.।]*)"
 )
 
 
+def harvest_mentions_expr(text_col: str):
+    """→ array of mention spans (≥1 element; full text when none)."""
+    spans = F.regexp_extract_all(F.col(text_col), F.lit(_MENTION_PATTERN), 1)
+    return F.when(F.size(spans) > 0, spans).otherwise(F.array(F.col(text_col)))
+
+
 def harvest_mention_expr(text_col: str):
+    """First-span form, kept for single-mention callers/tests."""
     span = F.regexp_extract(F.col(text_col), _MENTION_PATTERN, 1)
     return F.when(span != "", span).otherwise(F.col(text_col))
 from ..operators.blocking import blocking_keys, candidate_pairs
@@ -88,7 +97,9 @@ class StageStore:
         path = os.path.join(self.base, stage)
         marker = os.path.join(path, "_SUCCESS")
         if self.resume and os.path.exists(marker):
-            return spark.read.parquet(path)
+            # drop lineage columns here too — a resumed run must expose
+            # the same schema as a fresh one
+            return spark.read.parquet(path).drop("_job_id", "_stage", "_partition_id")
         out = df.withColumn("_job_id", F.lit(self.job_id)).withColumn(
             "_stage", F.lit(stage)
         ).withColumn("_partition_id", F.spark_partition_id())
@@ -114,6 +125,8 @@ class LinkagePlan:
         store: StageStore | None = None,
         dedup_mentions: bool = True,
         use_minhash: bool = True,
+        unique_level: bool = True,
+        gazetteer: DataFrame | None = None,
     ):
         self.spark = spark
         self.scorer = scorer
@@ -121,55 +134,77 @@ class LinkagePlan:
         self.store = store or StageStore(base=None)
         self.dedup_mentions = dedup_mentions
         self.use_minhash = use_minhash
+        # unique_level: block/score/cluster at the UNIQUE normalized
+        # mention level (norm_key nodes) instead of per page. Exact-dup
+        # pages — the dominant redundancy of a web corpus — collapse
+        # BEFORE any pairwise work: candidate pairs, scoring, and CC all
+        # shrink by the duplication factor; pages rejoin by norm_key at
+        # the end. Identical text ⇒ identical address ⇒ same entity, so
+        # recall is untouched.
+        self.unique_level = unique_level
+        self.gazetteer = gazetteer
         self.observations: dict[str, Observation] = {}
 
     # -- S1 ---------------------------------------------------------------
     def extract(self, pages: DataFrame) -> DataFrame:
-        """pages → one row per mention with normalized text + resolved
-        components (wide). ``url`` is the mention id (one mention per
-        page in this corpus shape).
+        """pages → one row per harvested mention with normalized text +
+        resolved components (wide). A page may carry 0..n mentions
+        (FIXTURES F1): ``mention_id = url + '#' + mention_idx``; the
+        bare ``url`` rides along for truth joins.
 
         Dedup-before-compute: the reference's 10k-entry LRU cache with a
         claimed 99% hit rate (extractor.py:85-89) becomes
         ``dropDuplicates(norm_key)`` + rejoin — identical mentions are
-        extracted once per corpus, not once per page.
+        extracted once per corpus, not once per page. ``norm_key``
+        (md5 of the lowercased normalized text) stays in the output:
+        it is the unique-mention node id for stages 2-4.
         """
-        mentions = pages.select(
-            F.col("url").alias("mention_id"),
-            normalize_expr(harvest_mention_expr("text")).alias("normalized"),
+        spans = pages.select(
+            F.col("url"),
+            F.posexplode(harvest_mentions_expr("text")).alias("mention_idx", "span"),
         )
+        mentions = spans.select(
+            "url",
+            F.concat(F.col("url"), F.lit("#"), F.col("mention_idx").cast("string")).alias("mention_id"),
+            normalize_expr(F.col("span")).alias("normalized"),
+        )
+        keyed = mentions.withColumn("norm_key", F.md5(norm_key_expr("normalized")))
         if self.dedup_mentions:
-            keyed = mentions.withColumn("_nk", norm_key_expr("normalized"))
             # cut lineage before the evidence fan-out: the regex / vocab
             # / fuzzy branches each re-expand the normalize+dedup
             # subtree otherwise (measured 2× slower end-to-end)
             uniq = (
-                keyed.select("_nk", "normalized")
-                .dropDuplicates(["_nk"])
+                keyed.select("norm_key", "normalized")
+                .dropDuplicates(["norm_key"])
                 .localCheckpoint(eager=False)
             )
-            ev = extract_evidence(uniq, id_col="_nk", text_col="normalized")
-            wide_u = resolved_wide(resolve_evidence(ev))  # mention_id == _nk
-            wide = (
-                keyed.join(
-                    wide_u.withColumnRenamed("mention_id", "_nk"), "_nk", "left"
-                ).drop("_nk")
+            ev = extract_evidence(uniq, id_col="norm_key", text_col="normalized",
+                                  gazetteer=self.gazetteer)
+            wide_u = resolved_wide(resolve_evidence(ev))  # mention_id == norm_key
+            wide = keyed.join(
+                wide_u.withColumnRenamed("mention_id", "norm_key"), "norm_key", "left"
             )
         else:
-            mentions = mentions.localCheckpoint(eager=False)
-            ev = extract_evidence(mentions)
-            wide = mentions.join(resolved_wide(resolve_evidence(ev)), "mention_id", "left")
+            keyed = keyed.localCheckpoint(eager=False)
+            ev = extract_evidence(keyed, gazetteer=self.gazetteer)
+            wide = keyed.join(resolved_wide(resolve_evidence(ev)), "mention_id", "left")
         for c in ALL_COMPONENTS + ["overall_confidence"]:
             if c not in wide.columns:
                 wide = wide.withColumn(c, F.lit(None).cast("double" if c == "overall_confidence" else "string"))
         wide = wide.na.fill({c: "" for c in ALL_COMPONENTS})
         return self.store.through(self.spark, "s1_mentions", wide)
 
+    def unique_mentions(self, mentions_wide: DataFrame) -> DataFrame:
+        """One row per distinct normalized mention — the node table for
+        unique-level blocking/scoring/clustering."""
+        uniq = mentions_wide.drop("mention_id", "url").dropDuplicates(["norm_key"])
+        return self.store.through(self.spark, "s2_unique_mentions", uniq)
+
     # -- S2 ---------------------------------------------------------------
-    def block(self, mentions_wide: DataFrame) -> DataFrame:
+    def block(self, nodes: DataFrame, id_col: str = "mention_id") -> DataFrame:
         keys = blocking_keys(
-            mentions_wide,
-            id_col="mention_id",
+            nodes,
+            id_col=id_col,
             text_col="normalized",
             postal_col="postal_code",
             district_col="district",
@@ -179,9 +214,10 @@ class LinkagePlan:
         return candidate_pairs(keys)
 
     # -- S3 ---------------------------------------------------------------
-    def score(self, pairs: DataFrame, mentions_wide: DataFrame) -> DataFrame:
+    def score(self, pairs: DataFrame, nodes: DataFrame,
+              id_col: str = "mention_id") -> DataFrame:
         scored = score_pairs(
-            attach_pair_components(pairs, mentions_wide),
+            attach_pair_components(pairs, nodes, id_col=id_col),
             scorer=self.scorer,
             threshold=self.threshold,
         )
@@ -189,21 +225,26 @@ class LinkagePlan:
         return self.store.through(self.spark, "s3_match_edges", edges)
 
     # -- S4 ---------------------------------------------------------------
-    def cluster(self, mentions_wide: DataFrame, edges: DataFrame) -> DataFrame:
-        entities = assign_entity_ids(mentions_wide, edges)
+    def cluster(self, mentions_wide: DataFrame, edges: DataFrame,
+                id_col: str = "mention_id") -> DataFrame:
+        entities = assign_entity_ids(mentions_wide, edges, id_col=id_col)
         return self.store.through(self.spark, "s4_entities", entities)
 
     # ---------------------------------------------------------------------
     def run(self, pages: DataFrame) -> DataFrame:
         """Full pipeline. Returns the entities DataFrame:
-        (mention_id, normalized, 9 components, overall_confidence,
-        entity_id)."""
+        (norm_key, url, mention_id, normalized, 9 components,
+        overall_confidence, entity_id)."""
         obs = Observation("s1_rows")
         self.observations["s1_mentions"] = obs
         wide = self.extract(pages).observe(obs, F.count(F.lit(1)).alias("rows"))
-        pairs = self.block(wide)
-        edges = self.score(pairs, wide)
-        return self.cluster(wide, edges)
+        if self.unique_level:
+            nodes, node_id = self.unique_mentions(wide), "norm_key"
+        else:
+            nodes, node_id = wide, "mention_id"
+        pairs = self.block(nodes, id_col=node_id)
+        edges = self.score(pairs, nodes, id_col=node_id)
+        return self.cluster(wide, edges, id_col=node_id)
 
     def metrics(self) -> dict:
         out = {}
@@ -239,7 +280,9 @@ def pairwise_f1(entities: DataFrame, truth: DataFrame) -> dict:
     TP via the contingency table) — no pair materialization, three tiny
     aggregations, valid at any corpus size.
     """
-    j = entities.select(F.col("mention_id").alias("url"), "entity_id").join(truth, "url")
+    ent = (entities.select("url", "entity_id") if "url" in entities.columns
+           else entities.select(F.col("mention_id").alias("url"), "entity_id"))
+    j = ent.join(truth, "url")
     cont = j.groupBy("entity_id", "truth_entity_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = lambda c: F.sum(F.col(c) * (F.col(c) - 1) / 2)  # noqa: E731
     tp = cont.agg(pairs("n").alias("x")).first()["x"] or 0.0

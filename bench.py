@@ -91,20 +91,25 @@ def run_bench() -> dict:
     n_mentions = wide.count()
     times["s1_extract"] = round(time.time() - t, 2)
 
+    # unique-level stages 2-4: exact-dup pages collapse to norm_key
+    # nodes BEFORE any pairwise work (see LinkagePlan.unique_level)
     t = time.time()
-    pairs = plan.block(wide).localCheckpoint(eager=True)
+    nodes = plan.unique_mentions(wide)
+    n_unique = nodes.count()
+    pairs = plan.block(nodes, id_col="norm_key").localCheckpoint(eager=True)
     n_pairs = pairs.count()
     times["s2_block"] = round(time.time() - t, 2)
 
     t = time.time()
-    edges = plan.score(pairs, wide)
+    edges = plan.score(pairs, nodes, id_col="norm_key")
     n_edges = edges.count()
     times["s3_score"] = round(time.time() - t, 2)
     extras["candidate_pairs"] = n_pairs
+    extras["n_unique_mentions"] = n_unique
     extras["pairs_scored_per_sec"] = round(n_pairs / max(times["s3_score"], 1e-9), 1)
 
     t = time.time()
-    ents = plan.cluster(wide, edges)
+    ents = plan.cluster(wide, edges, id_col="norm_key")
     n_ents = ents.select("entity_id").distinct().count()
     times["s4_cluster"] = round(time.time() - t, 2)
 

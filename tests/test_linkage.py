@@ -20,12 +20,15 @@ from ai_bangladesh_address_parser_spark.operators.scoring import (
 
 MENTIONS = [
     # (id, normalized, postal, district) — m1/m2 same postal; m3 alone;
-    # m4/m5 same district soundex, no postal
+    # m4/m5 same district soundex, no postal; m6/m7 unstructured
+    # (no postal, no district) → blocked by minhash bands only
     ("m1", "house 12 road 5 mirpur dhaka", "1216", "Dhaka"),
     ("m2", "house 12, road 5, mirpur, dhaka", "1216", "Dhaka"),
     ("m3", "agrabad chattogram", "4100", "Chattogram"),
     ("m4", "banani dhaka", None, "Dhaka"),
     ("m5", "gulshan dhaka", None, "Dhaka"),
+    ("m6", "plot 9 sector 4 uttara model town", None, None),
+    ("m7", "plot 9, sector 4, uttara, model town", None, None),
 ]
 
 
@@ -53,10 +56,14 @@ def test_minhash_bands_are_deterministic(spark, keys):
 
 
 def test_identical_token_sets_share_all_bands(keys):
-    # m1/m2 differ only in commas → same token multiset → same bands
-    k1 = {r["block_key"] for r in keys.filter("mention_id = 'm1'").collect() if r["block_key"].startswith("m:")}
-    k2 = {r["block_key"] for r in keys.filter("mention_id = 'm2'").collect() if r["block_key"].startswith("m:")}
+    # m6/m7 differ only in commas → same token multiset → same bands.
+    # (m1/m2 carry a postal → precisely blocked → NO band keys: LSH is
+    # the recall net for unstructured mentions only.)
+    k1 = {r["block_key"] for r in keys.filter("mention_id = 'm6'").collect() if r["block_key"].startswith("m:")}
+    k2 = {r["block_key"] for r in keys.filter("mention_id = 'm7'").collect() if r["block_key"].startswith("m:")}
     assert k1 == k2 and len(k1) == 4
+    assert not [r for r in keys.filter("mention_id = 'm1'").collect()
+                if r["block_key"].startswith("m:")]
 
 
 def test_candidate_pairs_within_blocks(keys):
