@@ -571,6 +571,19 @@ def q_x1_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x6_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (random-hyperplane buckets, multiprobe).
+    The oracle replicates bucketing + probing + ranking exactly in SQL,
+    so this checks the whole approximate path value-for-value."""
+    from ai_bangladesh_address_parser_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return lsh_topk(e, q, k=3, n_planes=6, dim=64).select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def q_x2_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_bangladesh_address_parser_spark.operators.text_analysis import langid_cols
 
@@ -646,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_minhash_lsh": q_d3_minhash_lsh,
         "d4_simhash": q_d4_simhash,
         "x1_ann_topk": q_x1_ann_topk,
+        "x6_ann_lsh": q_x6_ann_lsh,
         "x2_langid": q_x2_langid,
         "x3_quality": q_x3_quality,
         "x4_token_count": q_x4_token_count,
@@ -659,6 +673,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from ai_bangladesh_address_parser_spark.data import geo_hierarchy as gh
+    from ai_bangladesh_address_parser_spark.operators.similarity import plane_sign
+
+    # random-hyperplane signs for x6 (plane, 1-based dim index, ±1) —
+    # same md5-parity rule the Spark expression embeds as literals
+    signs_values = ("(VALUES " + ", ".join(
+        f"({p}, {i + 1}, {plane_sign(p, i)})"
+        for p in range(6) for i in range(64)) + ") AS t(p, i, s)")
 
     up_values = _values_sql(
         [(n, d, dv, c) for n, d, dv, c in gh.UPAZILAS],
@@ -1154,6 +1175,39 @@ def oracle_sql() -> dict[str, str]:
                   from s)
             select query_id, neighbor_id, rank from r where rank <= 3
         """,
+        "x6_ann_lsh": f"""
+            with signs as (select * from {{signs_values}}),
+            ex as (select vec_id, g.i as i, cast(embedding[g.i] as double) as x
+                   from embeddings
+                   cross join unnest(generate_series(1, len(embedding))) as g(i)),
+            dots as (select e.vec_id, s.p, sum(e.x * s.s) as dot
+                     from ex e join signs s on e.i = s.i
+                     group by e.vec_id, s.p),
+            buckets as (select vec_id,
+                               cast(sum(case when dot > 0 then (1::bigint << p)
+                                        else 0 end) as bigint) as bucket
+                        from dots group by vec_id),
+            c as (select b.vec_id as neighbor_id, b.bucket, e.embedding as cv
+                  from buckets b join embeddings e on b.vec_id = e.vec_id),
+            q0 as (select b.vec_id as query_id, b.bucket, e.embedding as qv
+                   from buckets b join embeddings e on b.vec_id = e.vec_id
+                   where b.vec_id < 10),
+            probes as (
+              select query_id, qv, bucket from q0
+              union all
+              select query_id, qv, cast(xor(bucket, (1::bigint << p)) as bigint)
+              from q0 cross join unnest(generate_series(0, 5)) as gp(p)),
+            scored as (select p.query_id, c.neighbor_id,
+                              list_cosine_similarity(cast(p.qv as double[]),
+                                                     cast(c.cv as double[])) as cosine
+                       from probes p join c on p.bucket = c.bucket
+                       where c.neighbor_id != p.query_id),
+            r as (select query_id, neighbor_id,
+                         row_number() over (partition by query_id
+                                            order by cosine desc, neighbor_id) as rank
+                  from scored)
+            select query_id, neighbor_id, rank from r where rank <= 3
+        """.format(signs_values=signs_values),
         "x2_langid": f"""
             with d as (select doc_id, {_DECOR_SQL} as text from documents),
             m as (select doc_id,

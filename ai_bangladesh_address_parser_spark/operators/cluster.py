@@ -125,11 +125,13 @@ def entity_profiles(
     w = Window.partitionBy(id_col, "component").orderBy(F.col("n").desc(), F.col("value"))
     winner = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     wide = winner.groupBy(id_col).pivot("component", components).agg(F.first("value"))
+    # anchor on the members aggregate: an entity whose every component
+    # is empty has no row in `wide` and must still appear in the output
     members = entities.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_members"))
-    out = wide.join(members, id_col)
+    out = members.join(wide, id_col, "left")
     for c in components:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit("")))
-    return out
+    return out.select(id_col, *components, "n_members")
 
 
 def assign_entity_ids(

@@ -230,12 +230,24 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via the
     pigeonhole block trick: split the 56 bits into ``n_blocks`` bands;
     any pair within distance ≤ n_blocks−1 shares at least one exact
-    band → band equi-join, then exact Hamming filter via bit_count."""
+    band → band equi-join, then exact Hamming filter via bit_count.
+
+    The pigeonhole guarantee REQUIRES n_blocks ≥ max_hamming + 1 —
+    fewer bands silently miss pairs whose flipped bits land one per
+    band. ``n_blocks=None`` (default) derives the minimum sound value;
+    an explicit under-provisioned value raises."""
+    if n_blocks is None:
+        n_blocks = min(max_hamming + 1, SIMHASH_BITS)
+    if max_hamming > n_blocks - 1:
+        raise ValueError(
+            f"n_blocks={n_blocks} cannot guarantee recall at "
+            f"max_hamming={max_hamming}; need n_blocks >= {max_hamming + 1}"
+        )
     sh = simhash(docs, id_col, text_col)
     width = SIMHASH_BITS // n_blocks
     mask = (1 << width) - 1

@@ -48,12 +48,18 @@ _HEURISTIC_RULES = [
 
 
 def _heuristic_model():
-    """Per-partition 'model': returns list[(label, value)] per text."""
+    """Per-partition 'model': returns list[(label, value)] per text.
+
+    POSTAL carries the same >50%-position rule as the FSM tier
+    (fsm_parser.py:53-58) — without it a leading house number like
+    ``1216 ...`` emits postal evidence at 0.85, which outweighs the
+    regex tier in Stage-8 voting and flips the resolved value."""
     def predict(text: str) -> list[tuple[str, str]]:
+        text = text or ""
         out = []
         for label, pat in _HEURISTIC_RULES:
-            m = pat.search(text or "")
-            if m:
+            m = pat.search(text)
+            if m and (label != "POSTAL" or m.end() > len(text) * 0.5):
                 out.append((label, m.group(1)))
         return out
     return predict

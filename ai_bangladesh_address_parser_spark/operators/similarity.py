@@ -20,6 +20,8 @@ Embedding dims are data-dependent; every expression reads
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -70,13 +72,39 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket_expr(vec_col: str, n_planes: int = 8) -> Column:
+def plane_sign(p: int, i: int) -> int:
+    """±1 from the parity of md5(f'{p}|{i}') — the deterministic,
+    engine-portable plane-weight rule (same value the previous
+    expression computed per ROW; see hyperplane_bucket_expr)."""
+    return (int(hashlib.md5(f"{p}|{i}".encode()).hexdigest()[:14], 16) % 2) * 2 - 1
+
+
+def hyperplane_bucket_expr(vec_col: str, n_planes: int = 8, dim: int | None = None) -> Column:
     """Deterministic sign-random-projection bucket id in [0, 2^n).
 
     Plane p's weight for dimension i is ±1 from the parity of the
     md5-derived hash of ``p|i`` — no RNG, no stored plane matrix,
-    identical across runs/partitions/engines."""
+    identical across runs/partitions/engines.
+
+    ``dim`` REQUIRED for the fast path: the plane signs are
+    row-independent, so they are computed ONCE on the driver and
+    embedded as literal arrays — the per-row cost is one zip_with
+    multiply-add per plane. (The previous form evaluated n_planes × dim
+    md5 calls PER ROW — 6,144 md5/row for a 768-dim embedding.)
+    ``dim=None`` falls back to the in-expression md5 for callers that
+    genuinely cannot know the dimension; identical results, slow.
+    """
     parts = []
+    if dim is not None:
+        v = F.col(vec_col).cast("array<double>")
+        for p in range(n_planes):
+            signs = F.array(*[F.lit(float(plane_sign(p, i))) for i in range(dim)])
+            dot = F.aggregate(
+                F.zip_with(v, signs, lambda x, s: x * s),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            parts.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        return sum(parts[1:], parts[0]).alias("bucket")
     for p in range(n_planes):
         dot = F.expr(
             f"aggregate(zip_with(cast(`{vec_col}` as array<double>), "
@@ -88,6 +116,11 @@ def hyperplane_bucket_expr(vec_col: str, n_planes: int = 8) -> Column:
     return sum(parts[1:], parts[0]).alias("bucket")
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).first()
+    return row["d"] if row else None
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -96,12 +129,15 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     multiprobe: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus rows in the query's bucket
     (plus, with ``multiprobe``, the n_planes buckets at Hamming
     distance 1 — the standard recall knob). Same output schema as
-    :func:`brute_force_topk`."""
-    bucket = hyperplane_bucket_expr(vec_col, n_planes)
+    :func:`brute_force_topk`. ``dim`` (inferred from one corpus row if
+    omitted) enables the literal-signs fast path."""
+    dim = dim if dim is not None else _infer_dim(corpus, vec_col)
+    bucket = hyperplane_bucket_expr(vec_col, n_planes, dim=dim)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), bucket)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), bucket)
     if multiprobe:
@@ -131,12 +167,14 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: bucket self-join (all
     2^n_planes buckets in parallel) → cosine ≥ threshold. The
     embedding-space member of the dedup family in
     ``operators.dedup``."""
-    bucket = hyperplane_bucket_expr(vec_col, n_planes)
+    dim = dim if dim is not None else _infer_dim(corpus, vec_col)
+    bucket = hyperplane_bucket_expr(vec_col, n_planes, dim=dim)
     d = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket)
     a, b = d.alias("a"), d.alias("b")
     return (
