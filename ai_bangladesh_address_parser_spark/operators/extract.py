@@ -47,20 +47,28 @@ _FSM_TIERS: list[tuple[str, str, int, float]] = [
     ("block_number", r"(?U)Block\s+([A-Z0-9]+)", 1, 0.75),
 ]
 
+# house/road expression tiers: the fast shallow path, swapped out for
+# the guard/priority pandas-UDF battery (operators.house_road) when
+# deep extraction is on
+_REGEX_TIERS_HOUSE_ROAD: list[tuple[str, str, int, float]] = [
+    ("house_number", r"(?iU)\b(?:house|holding|building|bldg|plot)\s*(?:name)?\s*(?:no|number)?\s*[.\-]?\s*(\d+(?:/[A-Za-z0-9]+)?(?:-?[A-Za-z])?)\b", 1, 0.96),
+    ("house_number", r"(?U)^(\d+(?:/[A-Za-z0-9]+)+)\b", 1, 0.92),
+    ("house_number", r"(?iU)\bh[\- ]?(\d+(?:/[A-Za-z0-9]+)?)\b", 1, 0.90),
+    ("road", r"(?iU)\b(?:road|rd|lane|ln|avenue|ave)\s*(?:no|number)?\s*[.\-]?\s*(\d+(?:/[A-Za-z0-9]+)?[A-Za-z]?)\b", 1, 0.95),
+    ("road", r"(?iU)\b(\d+(?:/[A-Za-z0-9]+)?[A-Za-z]?)\s*(?:no\.?\s*)?(?:road|lane|avenue)\b", 1, 0.88),
+    ("road", r"(?iU)\br[\- ]?(\d+[A-Za-z]?)\b", 1, 0.85),
+]
+
 _REGEX_TIERS: list[tuple[str, str, int, float]] = [
     # postal: explicit > city-dash > (standalone handled separately)
     ("postal_code", r"(?iU)(?:post\s*code|postal\s*code|p\.?\s?o\.?|zip|pin)\s*[:\-]?\s*(\d{4})\b", 1, 0.98),
     ("postal_code", r"(?iU)\b[A-Za-z]+\s?-\s?(\d{4})\b", 1, 0.95),
-    # house: explicit keyword > leading slash-form > compact h-form
-    ("house_number", r"(?iU)\b(?:house|holding|building|bldg|plot)\s*(?:name)?\s*(?:no|number)?\s*[.\-]?\s*(\d+(?:/[A-Za-z0-9]+)?(?:-?[A-Za-z])?)\b", 1, 0.96),
-    ("house_number", r"(?U)^(\d+(?:/[A-Za-z0-9]+)+)\b", 1, 0.92),
-    ("house_number", r"(?iU)\bh[\- ]?(\d+(?:/[A-Za-z0-9]+)?)\b", 1, 0.90),
-    # road: keyword-first > number-before-keyword > named road
-    ("road", r"(?iU)\b(?:road|rd|lane|ln|avenue|ave)\s*(?:no|number)?\s*[.\-]?\s*(\d+(?:/[A-Za-z0-9]+)?[A-Za-z]?)\b", 1, 0.95),
-    ("road", r"(?iU)\b(\d+(?:/[A-Za-z0-9]+)?[A-Za-z]?)\s*(?:no\.?\s*)?(?:road|lane|avenue)\b", 1, 0.88),
-    ("road", r"(?iU)\br[\- ]?(\d+[A-Za-z]?)\b", 1, 0.85),
-    # flat / floor / block
-    ("flat_number", r"(?iU)\b(?:flat|apt|apartment|suite|unit)\s*(?:no|number)?\s*[.\-]?\s*([A-Za-z0-9]+(?:-[A-Za-z0-9]+)?)\b", 1, 0.90),
+    # flat / floor / block. Flat values may be two tokens ("BC 103",
+    # "3 সি") or letter-dash-digit ("C-9") — flat_number_processor.py
+    # tier shapes incl. the (A)(5)→A5 concat family
+    ("flat_number", r"(?iU)\b(?:flat|apt|apartment|suite|unit)\s*(?:no|number)?\s*[.\-]?\s*((?:[A-Za-zঀ-৿]{1,2}[ \-]?)?\d+(?:[ \-]?[A-Za-zঀ-৿]{1,2})?)(?=[\s,.)]|$)", 1, 0.90),
+    ("flat_number", r"(?iU)\(\s*([A-Za-z]\d+)\s*\)", 1, 0.80),
+    ("flat_number", r"(?iU)floor,?\s+(\d+[A-Za-z])\b", 1, 0.80),
     ("floor_number", r"(?iU)\b(\d+(?:st|nd|rd|th)?[A-Za-z]?)\s*(?:floor|fl)\b", 1, 0.88),
     ("floor_number", r"(?iU)\b(?:floor|level|lift)\s*[.\-]?\s*([A-Za-z0-9]+)\b", 1, 0.85),
     ("block_number", r"(?iU)\b(?:block|blk|sector)\s*(?:no|number)?\s*[.\-]?\s*([A-Za-z0-9]+)\b", 1, 0.90),
@@ -127,17 +135,21 @@ def _positional_postal(text: Column, source: str, conf: float) -> Column:
     )
 
 
-def regex_evidence(mentions: DataFrame, id_col: str = "mention_id", text_col: str = "normalized") -> DataFrame:
+def regex_evidence(mentions: DataFrame, id_col: str = "mention_id",
+                   text_col: str = "normalized", deep: bool = True) -> DataFrame:
     """All expression-computable evidence (fsm + regex tiers) in ONE pass.
 
     Returns the evidence long format. Single projection → explode; no
-    joins, no shuffle.
+    joins, no shuffle. With ``deep`` (default), house/road come from the
+    guard/priority UDF battery instead of the shallow expression tiers,
+    so those tiers are omitted here.
     """
     text = F.col(text_col)
+    tiers = _REGEX_TIERS if deep else _REGEX_TIERS + _REGEX_TIERS_HOUSE_ROAD
     structs = (
         _tier_structs(text, _FSM_TIERS, "fsm")
         + [_positional_postal(text, "fsm", 0.75)]
-        + _tier_structs(text, _REGEX_TIERS, "regex")
+        + _tier_structs(text, tiers, "regex")
         + [_positional_postal(text, "regex", 0.80)]
     )
     arr = F.array_compact(F.array(*structs))
@@ -264,6 +276,7 @@ def gazetteer_evidence(evidence: DataFrame, gazetteer: DataFrame | None = None) 
     if gazetteer is None:
         adim = gz.areas_df(spark).select(
             F.lower("area").alias("a_key"),
+            F.col("area").alias("a_area"),
             F.col("district").alias("a_district"),
             F.col("postal_code").alias("a_top_postal"),
             F.lit(0.98).alias("a_postal_conf"),
@@ -271,6 +284,7 @@ def gazetteer_evidence(evidence: DataFrame, gazetteer: DataFrame | None = None) 
     else:
         adim = gazetteer.select(
             F.col("area").alias("a_key"),
+            F.col("area").alias("a_area"),
             F.col("district").alias("a_district"),
             F.col("top_postal").alias("a_top_postal"),
             F.coalesce("postal_confidence", F.lit(0.90)).alias("a_postal_conf"),
@@ -292,8 +306,11 @@ def gazetteer_evidence(evidence: DataFrame, gazetteer: DataFrame | None = None) 
     )
 
     a = first_ev.join(F.broadcast(adim), F.lower(first_ev.area) == F.col("a_key"), "inner")
+    # emit the dim's CANONICAL area name, not the mention's surface form
+    # (a deep-extractor candidate may carry higher confidence than the
+    # vocabulary hit and win the pivot with a non-canonical casing)
     area_validated = a.select(
-        "mention_id", F.lit("area").alias("component"), first_ev.area.alias("value"),
+        "mention_id", F.lit("area").alias("component"), F.col("a_area").alias("value"),
         F.lit(0.98).alias("confidence"), F.lit("gazetteer_validated").alias("source"),
     )
     district_filled = a.filter(F.col("a_district") != "").select(
@@ -368,14 +385,37 @@ def fuzzy_area_evidence(
     cheap expression filter — no pairwise scan). Short area names
     (length 4-5) additionally key on a 3-char prefix, mirroring the
     reference's short-name rule — misspellings of short areas are
-    otherwise unreachable."""
-    has_area = evidence.filter(F.col("component") == "area").select("mention_id").distinct()
+    otherwise unreachable.
+
+    Two gated paths, mirroring the reference:
+      * back-extraction — mentions with NO area evidence: scan all text
+        tokens (gazetteer.py:191-319);
+      * correction — mentions whose area evidence value is UNKNOWN to
+        the vocabulary: fuzzy-match the extracted VALUE only, never the
+        whole text (the `_fuzzy_match_area` call inside validation,
+        gazetteer.py:321-377) — full-text fuzzy here would override
+        legitimate unknown areas with prefix-collision junk."""
+    spark0 = mentions.sparkSession
+    known_names = F.broadcast(
+        gz.areas_df(spark0).select(F.lower("area").alias("k"))
+        .unionByName(gz.area_variants_df(spark0).select(F.col("variant").alias("k")))
+        .distinct()
+    )
+    area_ev = evidence.filter(F.col("component") == "area").select(
+        "mention_id", F.lower("value").alias("k")).distinct()
+    has_area = area_ev.select("mention_id").distinct()
     no_area = mentions.select(F.col(id_col).alias("mention_id"), F.col(text_col)).join(
         has_area, "mention_id", "left_anti"
     )
+    unknown_vals = (
+        area_ev.join(known_names, "k", "left_anti")
+        .join(area_ev.join(known_names, "k").select("mention_id").distinct(),
+              "mention_id", "left_anti")  # mentions with any known value keep it
+        .select("mention_id", F.col("k").alias("key"))
+    )
     toks = _token_candidates(no_area, "mention_id", text_col).select(
         "mention_id", F.col("key")
-    ).filter(F.length("key") >= 3)
+    ).unionByName(unknown_vals).filter(F.length("key") >= 3)
     # tokens carry both prefix widths; 3-char tokens only the short key
     toks = toks.select(
         "mention_id", "key",
@@ -663,6 +703,7 @@ def extract_evidence(
     text_col: str = "normalized",
     materialize: bool = True,
     gazetteer: DataFrame | None = None,
+    deep: bool = True,
 ) -> DataFrame:
     """Full stage 3-7 evidence generation. Input must already carry the
     normalized text column (see functions.normalize.normalize_expr).
@@ -674,9 +715,15 @@ def extract_evidence(
     persist(): nothing stays registered with the CacheManager, so
     repeated invocations in one driver (streaming micro-batches) don't
     accumulate cached plans."""
-    base = regex_evidence(mentions, id_col, text_col).unionByName(
+    base = regex_evidence(mentions, id_col, text_col, deep=deep).unionByName(
         vocab_evidence(mentions, id_col, text_col)
     )
+    if deep:
+        from .house_road import house_road_area_evidence
+
+        base = base.unionByName(
+            house_road_area_evidence(mentions, id_col=id_col, text_col=text_col)
+        )
     if materialize:
         base = base.localCheckpoint(eager=False)
     fuzzy = fuzzy_area_evidence(mentions, base, id_col, text_col)

@@ -1,0 +1,100 @@
+"""Per-component accuracy of the extraction pipeline on the golden
+labeled fixture (tests/data/golden_addresses.json — 152 records drawn
+every-9th from the reference's 1,363-record labeled corpus,
+``data/raw/merged_addresses.json``; FIXTURES.md F2 shape).
+
+Label canonicalization: the reference labels are stylistically
+inconsistent (road sometimes keeps the keyword — "Road 2",
+"Sonatonghor Road" — house rarely does; floor "4th" vs "4"), so both
+sides are canonicalized before comparison: lowercase, strip
+road/house/floor keywords and ordinal suffixes, collapse punctuation.
+
+Usage: python tools/eval_golden.py [--show-miss COMPONENT]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GOLDEN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "tests", "data", "golden_addresses.json")
+
+COMPONENTS = ["house_number", "road", "area", "district", "division",
+              "postal_code", "flat_number", "floor_number", "block_number"]
+
+
+def canon(component: str, v: str | None) -> str:
+    v = (v or "").strip().lower()
+    v = v.translate(str.maketrans("০১২৩৪৫৬৭৮৯", "0123456789"))
+    v = v.replace("#", "").replace("নং", "").strip()
+    if component == "house_number":
+        v = re.sub(r"^(?:house|holding|bldg|building|plot|basa|basha|বাড়ি|বাসা)\s*(?:no\.?|number)?\s*[-:]?\s*", "", v)
+        v = re.sub(r"^h[\s-]+(?=\d)", "", v)
+    if component == "road":
+        v = v.replace(":", " ")
+        v = re.sub(r"\b(?:road|rd\.?|lane|ln\.?|avenue|ave\.?|no\.?|number|sarani|sarak|goli|রোড|লেন|গলি|সড়ক)\b", " ", v)
+        v = re.sub(r"^r\b\.?", " ", v)
+    if component == "floor_number":
+        v = re.sub(r"(?<=\d)(?:st|nd|rd|th)\b", "", v)
+        v = re.sub(r"\b(?:floor|fl|level)\b", " ", v)
+    if component in ("flat_number", "block_number"):
+        v = re.sub(r"\b(?:flat|block|blk|sector|apt|apartment|suite|unit|no\.?)\b", " ", v)
+        v = v.replace("-", "").replace("/", "")
+    if component == "area":
+        v = re.sub(r"\b(?:north|south|east|west|middle|new|old|uttor|dokkhin|purbo|poschim|পূর্ব|পশ্চিম|উত্তর|দক্ষিণ)\b", " ", v)
+        v = re.sub(r"\br/?a\b|\bresidential\s+area\b|\babashik\b", " ", v)
+    v = re.sub(r"[\s,.\-–]+", " ", v).strip()
+    return v
+
+
+def evaluate(records=None, show_miss: str | None = None) -> dict:
+    from pyspark.sql import functions as F
+
+    from ai_bangladesh_address_parser_spark.functions.normalize import normalize_expr
+    from ai_bangladesh_address_parser_spark.operators.extract import extract_evidence
+    from ai_bangladesh_address_parser_spark.operators.resolve import (
+        resolve_evidence,
+        resolved_wide,
+    )
+    from ai_bangladesh_address_parser_spark.session import get_spark
+
+    records = records or json.load(open(GOLDEN))
+    spark = get_spark("eval-golden", master="local[8]", shuffle_partitions=8)
+    df = spark.createDataFrame(
+        [(str(r["id"]), r["address"]) for r in records], "mention_id string, raw string"
+    ).withColumn("normalized", normalize_expr("raw"))
+    ev = extract_evidence(df)
+    wide = resolved_wide(resolve_evidence(ev))
+    got = {r["mention_id"]: r.asDict() for r in wide.collect()}
+
+    acc, n_present = {}, {}
+    misses = []
+    for r in records:
+        rid = str(r["id"])
+        g = got.get(rid, {})
+        for c in COMPONENTS:
+            want = canon(c, r["components"].get(c, ""))
+            have = canon(c, g.get(c, ""))
+            n_present[c] = n_present.get(c, 0) + (1 if want else 0)
+            ok = want == have or want.replace(" ", "") == have.replace(" ", "")
+            if want:
+                acc[c] = acc.get(c, 0) + (1 if ok else 0)
+            if want and not ok and show_miss in (c, "all"):
+                misses.append((rid, c, r["address"][:70], "want=" + want, "got=" + have))
+    out = {c: round(acc.get(c, 0) / n_present[c], 3) for c in COMPONENTS if n_present.get(c)}
+    out["_n"] = len(records)
+    for m in misses[:40]:
+        print("MISS", *m)
+    return out
+
+
+if __name__ == "__main__":
+    show = None
+    if "--show-miss" in sys.argv:
+        show = sys.argv[sys.argv.index("--show-miss") + 1]
+    print(json.dumps(evaluate(show_miss=show), indent=1))
