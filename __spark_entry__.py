@@ -347,6 +347,28 @@ def q_j5_geo_proactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo_evidence(mentions, ev)
 
 
+def q_j8_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: the composed enrich verb — hierarchy attachment for rows
+    with a postal, prediction cascade for rows without."""
+    from ai_bangladesh_address_parser_spark.operators.extract import enrich
+
+    c = _t(spark, sf_dir, "customer")
+    area_arr = F.array(*[F.lit(a) for a in _J4_AREAS])
+    postal_arr = F.array(F.lit(""), F.lit("1340"), F.lit("1212"))
+    wide = c.select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id"),
+        F.element_at(postal_arr, (F.col("c_custkey") % 3).cast("int") + 1).alias("postal_code"),
+        F.element_at(area_arr, (F.col("c_custkey") % 8).cast("int") + 1).alias("area"),
+        F.when(F.col("c_custkey") % 5 <= 2, F.lit("Dhaka"))
+         .when(F.col("c_custkey") % 5 == 3, F.lit("Chattogram"))
+         .otherwise(F.lit("")).alias("district"),
+    )
+    return enrich(wide).select(
+        "mention_id", "postal_code", "area", "district",
+        "geo_upazila", "geo_unions", "final_postal", "postal_origin",
+    )
+
+
 def q_j6_full_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: postal → (upazila, district, division, union list) broadcast
     lookup."""
@@ -646,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_predict_postal": q_j4_predict_postal,
         "j5_geo_proactive": q_j5_geo_proactive,
         "j6_full_hierarchy": q_j6_full_hierarchy,
+        "j8_enrich": q_j8_enrich,
         "p3_validate": q_p3_validate,
         "p4_connected_components": q_p4_connected_components,
         "a1_resolve_conflict": q_a1_resolve_conflict,
@@ -947,6 +970,70 @@ def oracle_sql() -> dict[str, str]:
             union all
             select mention_id, 'division', division, cast(0.90 as double),
                    'geographic_inferred_from_union' from nhit
+        """,
+        "j8_enrich": f"""
+            with wide as (
+              select lpad(cast(c_custkey as varchar),6,'0') as mention_id,
+                     (case c_custkey % 3 when 0 then '' when 1 then '1340'
+                        else '1212' end) as postal_code,
+                     (case c_custkey % 8 when 0 then 'Savar' when 1 then 'Savarhat2'
+                        when 2 then 'Savargram1' when 3 then 'Gulshan' when 4 then 'Gulsh'
+                        when 5 then '' when 6 then 'Patiya' else 'zzznope' end) as area,
+                     (case when c_custkey % 5 <= 2 then 'Dhaka'
+                           when c_custkey % 5 = 3 then 'Chattogram' else '' end) as district
+              from customer),
+            ul as (select upazila, string_agg(name, '|' order by name) as unions
+                   from {un_values} group by upazila),
+            dim as (select u.code, u.name as upazila, coalesce(ul.unions, '') as unions
+                    from (select * from {up_values}) u
+                    left join ul on u.name = ul.upazila),
+            missing as (select mention_id, lower(trim(area)) as akey,
+                               lower(trim(district)) as dkey
+                        from wide where postal_code is null or postal_code = ''),
+            up as (select lower(name) as k, lower(district) as d, code as c from {up_values}),
+            un as (select lower(name) as k, lower(district) as d, code as c from {un_values}),
+            vg as (select lower(name) as k, lower(district) as d, code as c from {vg_values}),
+            po as (select lower(post_office) as k, lower(district) as d, code as c from {po_values}),
+            dmin as (select lower(district) as k, min(code) as c from {po_values} group by 1),
+            cands as (
+              select m.mention_id, u.c as code, 'upazila_match' as source, 1 as prio, 0 as tb1
+              from missing m join up u on m.akey = u.k and (m.dkey = '' or m.dkey = u.d)
+                   and u.c != '' where m.akey != ''
+              union all
+              select m.mention_id, u.c, 'union_match', 2, 0
+              from missing m join un u on m.akey = u.k and (m.dkey = '' or m.dkey = u.d)
+                   and u.c != '' where m.akey != ''
+              union all
+              select m.mention_id, u.c, 'village_match', 3, 0
+              from missing m join vg u on m.akey = u.k and (m.dkey = '' or m.dkey = u.d)
+                   and u.c != '' where m.akey != ''
+              union all
+              select m.mention_id, p.c, 'post_office_match', 4, 0
+              from missing m join po p on m.akey = p.k and (m.dkey = '' or m.dkey = p.d)
+                   and p.c != '' where m.akey != ''
+              union all
+              select m.mention_id, p.c, 'fuzzy_area_match', 5, -length(p.k)
+              from missing m join po p
+                   on (strpos(m.akey, p.k) > 0 or strpos(p.k, m.akey) > 0)
+                   and (m.dkey = '' or m.dkey = p.d) and p.c != ''
+              where m.akey != ''
+              union all
+              select m.mention_id, dm.c, 'district_inference', 6, 0
+              from missing m join dmin dm on m.dkey = dm.k where m.dkey != ''),
+            r as (select *, row_number() over (partition by mention_id
+                         order by prio, tb1, code) as rn from cands),
+            pred as (select mention_id, code, source from r where rn = 1)
+            select w.mention_id, w.postal_code, w.area, w.district,
+                   coalesce(dim.upazila, '') as geo_upazila,
+                   coalesce(dim.unions, '') as geo_unions,
+                   case when w.postal_code != '' then w.postal_code
+                        else coalesce(p.code, '') end as final_postal,
+                   case when w.postal_code != '' then 'extracted'
+                        when p.code is not null then p.source
+                        else '' end as postal_origin
+            from wide w
+            left join dim on w.postal_code = dim.code
+            left join pred p on w.mention_id = p.mention_id
         """,
         "j6_full_hierarchy": f"""
             with df as (

@@ -48,24 +48,68 @@ DISTRICT_DIVISION: list[tuple[str, str]] = [
     ("Netrokona", "Mymensingh"), ("Sherpur", "Mymensingh"),
 ]
 
+# Bangla district names (full public map — the reference's Bangla
+# district vocabulary, district_processor.py:322-407). Keys are the
+# standard Bangla spellings; values are canonical English names.
+BANGLA_DISTRICTS: list[tuple[str, str]] = [
+    ("ঢাকা", "Dhaka"), ("ফরিদপুর", "Faridpur"), ("গাজীপুর", "Gazipur"),
+    ("গোপালগঞ্জ", "Gopalganj"), ("কিশোরগঞ্জ", "Kishoreganj"),
+    ("মাদারীপুর", "Madaripur"), ("মানিকগঞ্জ", "Manikganj"),
+    ("মুন্সীগঞ্জ", "Munshiganj"), ("নারায়ণগঞ্জ", "Narayanganj"),
+    ("নরসিংদী", "Narsingdi"), ("রাজবাড়ী", "Rajbari"),
+    ("শরীয়তপুর", "Shariatpur"), ("টাঙ্গাইল", "Tangail"),
+    ("চট্টগ্রাম", "Chattogram"), ("বান্দরবান", "Bandarban"),
+    ("ব্রাহ্মণবাড়িয়া", "Brahmanbaria"), ("চাঁদপুর", "Chandpur"),
+    ("কুমিল্লা", "Cumilla"), ("কক্সবাজার", "Cox's Bazar"),
+    ("ফেনী", "Feni"), ("খাগড়াছড়ি", "Khagrachhari"),
+    ("লক্ষ্মীপুর", "Lakshmipur"), ("নোয়াখালী", "Noakhali"),
+    ("রাঙ্গামাটি", "Rangamati"),
+    ("রাজশাহী", "Rajshahi"), ("বগুড়া", "Bogura"), ("জয়পুরহাট", "Joypurhat"),
+    ("নওগাঁ", "Naogaon"), ("নাটোর", "Natore"),
+    ("চাঁপাইনবাবগঞ্জ", "Chapainawabganj"), ("পাবনা", "Pabna"),
+    ("সিরাজগঞ্জ", "Sirajganj"),
+    ("খুলনা", "Khulna"), ("বাগেরহাট", "Bagerhat"), ("চুয়াডাঙ্গা", "Chuadanga"),
+    ("যশোর", "Jashore"), ("ঝিনাইদহ", "Jhenaidah"), ("কুষ্টিয়া", "Kushtia"),
+    ("মাগুরা", "Magura"), ("মেহেরপুর", "Meherpur"), ("নড়াইল", "Narail"),
+    ("সাতক্ষীরা", "Satkhira"),
+    ("বরিশাল", "Barisal"), ("বরগুনা", "Barguna"), ("ভোলা", "Bhola"),
+    ("ঝালকাঠি", "Jhalokati"), ("পটুয়াখালী", "Patuakhali"),
+    ("পিরোজপুর", "Pirojpur"),
+    ("সিলেট", "Sylhet"), ("হবিগঞ্জ", "Habiganj"),
+    ("মৌলভীবাজার", "Moulvibazar"), ("সুনামগঞ্জ", "Sunamganj"),
+    ("রংপুর", "Rangpur"), ("দিনাজপুর", "Dinajpur"), ("গাইবান্ধা", "Gaibandha"),
+    ("কুড়িগ্রাম", "Kurigram"), ("লালমনিরহাট", "Lalmonirhat"),
+    ("নীলফামারী", "Nilphamari"), ("পঞ্চগড়", "Panchagarh"),
+    ("ঠাকুরগাঁও", "Thakurgaon"),
+    ("ময়মনসিংহ", "Mymensingh"), ("জামালপুর", "Jamalpur"),
+    ("নেত্রকোণা", "Netrokona"), ("শেরপুর", "Sherpur"),
+]
+
 # (variant, canonical) — spelling/abbreviation variants the reference
-# resolves (district_processor.py:292-407; normalizer corrections).
+# resolves (district_processor.py:292-407; normalizer corrections),
+# plus every Bangla district spelling.
 DISTRICT_VARIANTS: list[tuple[str, str]] = [
-    ("dhaka", "Dhaka"), ("daka", "Dhaka"), ("dhakka", "Dhaka"), ("ঢাকা", "Dhaka"),
+    ("dhaka", "Dhaka"), ("daka", "Dhaka"), ("dhakka", "Dhaka"),
     ("chattogram", "Chattogram"), ("chittagong", "Chattogram"),
-    ("chittagang", "Chattogram"), ("ctg", "Chattogram"), ("চট্টগ্রাম", "Chattogram"),
+    ("chittagang", "Chattogram"), ("ctg", "Chattogram"),
     ("cumilla", "Cumilla"), ("comilla", "Cumilla"),
     ("bogura", "Bogura"), ("bogra", "Bogura"),
     ("jashore", "Jashore"), ("jessore", "Jashore"),
     ("barisal", "Barisal"), ("barishal", "Barisal"),
-    ("sylhet", "Sylhet"), ("সিলেট", "Sylhet"),
-    ("rajshahi", "Rajshahi"), ("রাজশাহী", "Rajshahi"),
-    ("khulna", "Khulna"), ("খুলনা", "Khulna"),
-    ("rangpur", "Rangpur"), ("রংপুর", "Rangpur"),
-    ("mymensingh", "Mymensingh"), ("narayanganj", "Narayanganj"),
-    ("gazipur", "Gazipur"), ("coxs bazar", "Cox's Bazar"),
-    ("cox's bazar", "Cox's Bazar"),
-] + [(d.lower(), d) for d, _ in DISTRICT_DIVISION]
+    ("coxs bazar", "Cox's Bazar"), ("cox's bazar", "Cox's Bazar"),
+] + [(d.lower(), d) for d, _ in DISTRICT_DIVISION] + BANGLA_DISTRICTS
+
+# Bangla letter → Banglish block-letter map
+# (block_processor.py:251-259): block values written as Bangla letters
+# normalize to their Banglish names ("ব্লক ক" → block "Ka").
+BANGLA_BLOCK_MAP: dict[str, str] = {
+    "চ": "Cha", "ক": "Ka", "গ": "Ga", "জ": "Ja", "ড": "Da",
+    "প": "Pa", "ব": "Ba", "ম": "Ma", "র": "Ra", "ল": "La",
+    "এ": "A", "বি": "Bi", "সি": "Ci", "ডি": "Di", "ই": "E",
+    "এফ": "F", "জি": "Gi", "এইচ": "H", "আই": "I", "জে": "Je",
+    "খ": "Kha", "ছ": "Cha", "ঠ": "Tha", "থ": "Tha", "ফ": "Pha",
+    "ভ": "Bha", "শ": "Sha", "স": "Sa", "হ": "Ha",
+}
 
 # (area, district, postal_code) — representative public subset covering
 # the reference's fixture addresses; `Dhaka` is intentionally hot

@@ -29,6 +29,21 @@ from ..data import gazetteer as gz
 
 EVIDENCE_SCHEMA = "mention_id string, component string, value string, confidence double, source string"
 
+# D5 stage control (config/stage_config.json; tools/control_stages.py
+# :34-69). Normalization, the regex battery, conflict resolution, and
+# output assembly are MANDATORY (stages 2/4/8/9) and not listed here;
+# these are the reference's five optional stages. "script" is
+# metadata-only in the reference (nothing branches on it), so enabling
+# it has no evidence effect — kept for profile fidelity.
+OPTIONAL_STAGES = frozenset({"script", "fsm", "spacy", "gazetteer", "geographic"})
+PROFILES: dict[str, frozenset[str]] = {
+    "fast": frozenset(),
+    "balanced": frozenset({"spacy", "gazetteer", "geographic"}),
+    "accurate": OPTIONAL_STAGES,
+    "minimal": frozenset(),
+}
+DEFAULT_STAGES = frozenset({"fsm", "gazetteer", "geographic"})
+
 # --- regex tiers -----------------------------------------------------------
 # (component, pattern, group, confidence, source); patterns model the
 # reference tiers: fsm_parser.py:26-58 (fsm), house_number_processor.py
@@ -71,8 +86,8 @@ _REGEX_TIERS: list[tuple[str, str, int, float]] = [
     ("flat_number", r"(?iU)floor,?\s+(\d+[A-Za-z])\b", 1, 0.80),
     ("floor_number", r"(?iU)\b(\d+(?:st|nd|rd|th)?[A-Za-z]?)\s*(?:floor|fl)\b", 1, 0.88),
     ("floor_number", r"(?iU)\b(?:floor|level|lift)\s*[.\-]?\s*([A-Za-z0-9]+)\b", 1, 0.85),
-    ("block_number", r"(?iU)\b(?:block|blk|sector)\s*(?:no|number)?\s*[.\-]?\s*([A-Za-z0-9]+)\b", 1, 0.90),
-    ("block_number", r"(?iU)\b(\d+|[A-Za-z])\s*(?:block|blk)\b", 1, 0.88),
+    ("block_number", r"(?iU)\b(?:block|blk|sector)\s*(?:no|number)?\s*[.\-]?\s*([A-Za-z0-9ঀ-৿]+)", 1, 0.90),
+    ("block_number", r"(?iU)\b(\d+|[A-Za-zঀ-৿])\s*(?:block|blk)\b", 1, 0.88),
 ]
 
 
@@ -136,29 +151,34 @@ def _positional_postal(text: Column, source: str, conf: float) -> Column:
 
 
 def regex_evidence(mentions: DataFrame, id_col: str = "mention_id",
-                   text_col: str = "normalized", deep: bool = True) -> DataFrame:
+                   text_col: str = "normalized", deep: bool = True,
+                   fsm: bool = True) -> DataFrame:
     """All expression-computable evidence (fsm + regex tiers) in ONE pass.
 
     Returns the evidence long format. Single projection → explode; no
     joins, no shuffle. With ``deep`` (default), house/road come from the
     guard/priority UDF battery instead of the shallow expression tiers,
-    so those tiers are omitted here.
+    so those tiers are omitted here. ``fsm=False`` disables the optional
+    FSM stage (stage 3).
     """
     text = F.col(text_col)
     tiers = _REGEX_TIERS if deep else _REGEX_TIERS + _REGEX_TIERS_HOUSE_ROAD
-    structs = (
-        _tier_structs(text, _FSM_TIERS, "fsm")
-        + [_positional_postal(text, "fsm", 0.75)]
-        + _tier_structs(text, tiers, "regex")
-        + [_positional_postal(text, "regex", 0.80)]
-    )
+    structs = _tier_structs(text, tiers, "regex") + [_positional_postal(text, "regex", 0.80)]
+    if fsm:
+        structs = (_tier_structs(text, _FSM_TIERS, "fsm")
+                   + [_positional_postal(text, "fsm", 0.75)] + structs)
     arr = F.array_compact(F.array(*structs))
+    # Bangla-letter block values → Banglish names (block_processor.py
+    # :251-259): single create_map lookup over the emitted value
+    blk_map = F.create_map(*[F.lit(x) for kv in gz.BANGLA_BLOCK_MAP.items() for x in kv])
     ev = (
         mentions.select(F.col(id_col).alias("mention_id"), F.explode(arr).alias("e"))
         .select(
             "mention_id",
             F.col("e.component").alias("component"),
-            F.col("e.value").alias("value"),
+            F.when(F.col("e.component") == "block_number",
+                   F.coalesce(blk_map[F.col("e.value")], F.col("e.value")))
+            .otherwise(F.col("e.value")).alias("value"),
             F.col("e.confidence").alias("confidence"),
             F.col("e.source").alias("source"),
         )
@@ -617,6 +637,30 @@ def geo_evidence(
             F.lit(conf).alias("confidence"), F.lit(source).alias("source"),
         )
 
+    # J3 auto-fill branch (geographic_validator.py:37-169): a mention
+    # WITH area evidence whose value IS an upazila/union name gets its
+    # area validated (0.95) and district/division filled when missing.
+    area_vals = (evidence.filter(F.col("component") == "area")
+                 .select("mention_id", F.lower("value").alias("vkey")).distinct())
+
+    def val_hits(dim: DataFrame, conf_area: float, conf_fill: float) -> tuple:
+        d = dim.select(F.lower("name").alias("k"), "name", "district", "division")
+        h = (area_vals.join(F.broadcast(d), area_vals.vkey == d.k, "inner")
+             .groupBy("mention_id")
+             .agg(F.max_by(F.struct("name", "district", "division"),
+                           F.struct(F.length("name"), F.col("name"))).alias("m")))
+        area = emit(h, "area", "m.name", conf_area, "geographic_validated")
+        dist = emit(h, "district", "m.district", conf_fill,
+                    "geographic_validated", "district")
+        dv = emit(h, "division", "m.division", conf_fill,
+                  "geographic_validated", "division")
+        return h, area.unionByName(dist).unionByName(dv)
+
+    vu_hits, vu_ev = val_hits(gh.upazilas_df(spark), 0.95, 0.95)
+    _, vn_ev0 = val_hits(gh.unions_df(spark), 0.95, 0.90)
+    vn_ev = vn_ev0  # unions only where no upazila-name match
+    vn_ev = vn_ev.join(vu_hits.select("mention_id"), "mention_id", "left_anti")
+
     return (
         emit(uhits, "area", "m.name", 0.90, "geographic_upazila_extraction")
         .unionByName(emit(uhits, "district", "m.district", 0.95,
@@ -628,6 +672,8 @@ def geo_evidence(
                           "geographic_inferred_from_union", "district"))
         .unionByName(emit(nhits, "division", "m.division", 0.90,
                           "geographic_inferred_from_union", "division"))
+        .unionByName(vu_ev)
+        .unionByName(vn_ev)
     )
 
 
@@ -644,19 +690,68 @@ def full_hierarchy(df: DataFrame, postal_col: str = "postal_code",
         F.concat_ws("|", F.sort_array(F.collect_list("name"))).alias("unions")
     )
     up = gh.upazilas_df(spark)
+    # h_-prefixed dim columns: the input df may itself carry
+    # upazila/district/division columns (e.g. the resolved wide table)
     dim = F.broadcast(
         up.join(un_list, up.name == un_list.upazila, "left").select(
             F.col("postal_code").alias("h_postal"),
-            F.col("name").alias("upazila"),
-            "district", "division",
-            F.coalesce("unions", F.lit("")).alias("unions"),
+            F.col("name").alias("h_upazila"),
+            F.col("district").alias("h_district"),
+            F.col("division").alias("h_division"),
+            F.coalesce("unions", F.lit("")).alias("h_unions"),
         )
     )
     return df.join(dim, F.col(postal_col) == F.col("h_postal"), "inner").select(
         F.col(id_col).alias("mention_id"),
         F.col(postal_col).alias("postal_code"),
-        "upazila", "district", "division", "unions",
+        F.col("h_upazila").alias("upazila"),
+        F.col("h_district").alias("district"),
+        F.col("h_division").alias("division"),
+        F.col("h_unions").alias("unions"),
     )
+
+
+def enrich(wide: DataFrame, id_col: str = "mention_id") -> DataFrame:
+    """J8: the composed ``enrich`` verb (extractor.py:470-511) —
+    resolved components + geographic hierarchy attachment + suggested
+    postal for rows missing one:
+
+      * rows WITH a postal code: attach (upazila, unions) via the J6
+        full-hierarchy broadcast lookup;
+      * rows WITHOUT: run the J4 prediction cascade;
+      * ``final_postal`` coalesces the two; ``postal_origin`` says which.
+
+    Two broadcast joins over the wide table — no extra shuffle."""
+    base = wide.withColumn(
+        "_has_postal",
+        F.col("postal_code").isNotNull() & (F.col("postal_code") != ""),
+    )
+    hier = full_hierarchy(
+        base.filter(F.col("_has_postal")), postal_col="postal_code", id_col=id_col
+    ).select(
+        F.col("mention_id").alias(id_col),
+        F.col("upazila").alias("geo_upazila"),
+        F.col("unions").alias("geo_unions"),
+    )
+    pred = predict_postal(base, id_col=id_col).withColumnRenamed("mention_id", id_col)
+    out = (
+        base.join(hier, id_col, "left")
+        .join(pred, id_col, "left")
+        .withColumn(
+            "final_postal",
+            F.when(F.col("_has_postal"), F.col("postal_code"))
+            .otherwise(F.coalesce("predicted_postal", F.lit(""))),
+        )
+        .withColumn(
+            "postal_origin",
+            F.when(F.col("_has_postal"), F.lit("extracted"))
+            .when(F.col("predicted_postal").isNotNull(), F.col("prediction_source"))
+            .otherwise(F.lit("")),
+        )
+        .drop("_has_postal")
+    )
+    return out.na.fill({"geo_upazila": "", "geo_unions": "",
+                        "predicted_postal": "", "prediction_source": ""})
 
 
 def consistency_conflicts(wide: DataFrame, id_col: str = "mention_id") -> DataFrame:
@@ -704,6 +799,7 @@ def extract_evidence(
     materialize: bool = True,
     gazetteer: DataFrame | None = None,
     deep: bool = True,
+    stages: frozenset[str] | None = None,
 ) -> DataFrame:
     """Full stage 3-7 evidence generation. Input must already carry the
     normalized text column (see functions.normalize.normalize_expr).
@@ -715,7 +811,9 @@ def extract_evidence(
     persist(): nothing stays registered with the CacheManager, so
     repeated invocations in one driver (streaming micro-batches) don't
     accumulate cached plans."""
-    base = regex_evidence(mentions, id_col, text_col, deep=deep).unionByName(
+    stages = DEFAULT_STAGES if stages is None else frozenset(stages)
+    base = regex_evidence(mentions, id_col, text_col, deep=deep,
+                          fsm="fsm" in stages).unionByName(
         vocab_evidence(mentions, id_col, text_col)
     )
     if deep:
@@ -724,10 +822,21 @@ def extract_evidence(
         base = base.unionByName(
             house_road_area_evidence(mentions, id_col=id_col, text_col=text_col)
         )
+    if "spacy" in stages:
+        from .ner import ner_evidence
+
+        base = base.unionByName(ner_evidence(mentions, id_col=id_col, text_col=text_col))
     if materialize:
         base = base.localCheckpoint(eager=False)
-    fuzzy = fuzzy_area_evidence(mentions, base, id_col, text_col)
-    first_pass = base.unionByName(fuzzy)
+    first_pass = base
+    if "gazetteer" in stages:
+        first_pass = first_pass.unionByName(
+            fuzzy_area_evidence(mentions, base, id_col, text_col))
     if materialize:
         first_pass = first_pass.localCheckpoint(eager=False)
-    return first_pass.unionByName(gazetteer_evidence(first_pass, gazetteer=gazetteer))
+    out = first_pass
+    if "gazetteer" in stages:
+        out = out.unionByName(gazetteer_evidence(first_pass, gazetteer=gazetteer))
+    if "geographic" in stages:
+        out = out.unionByName(geo_evidence(mentions, first_pass, id_col, text_col))
+    return out

@@ -127,13 +127,26 @@ class LinkagePlan:
         use_minhash: bool = True,
         unique_level: bool = True,
         gazetteer: DataFrame | None = None,
+        profile: str | None = None,
+        stages: frozenset[str] | None = None,
     ):
+        from ..operators.extract import DEFAULT_STAGES, PROFILES
+
         self.spark = spark
         self.scorer = scorer
         self.threshold = threshold
         self.store = store or StageStore(base=None)
         self.dedup_mentions = dedup_mentions
         self.use_minhash = use_minhash
+        # D5 stage control: an explicit ``stages`` set wins; else a
+        # named profile (fast/balanced/accurate/minimal, reference
+        # tools/control_stages.py:45-69); else the default stage set.
+        if stages is not None:
+            self.stages = frozenset(stages)
+        elif profile is not None:
+            self.stages = PROFILES[profile]
+        else:
+            self.stages = DEFAULT_STAGES
         # unique_level: block/score/cluster at the UNIQUE normalized
         # mention level (norm_key nodes) instead of per page. Exact-dup
         # pages — the dominant redundancy of a web corpus — collapse
@@ -179,14 +192,14 @@ class LinkagePlan:
                 .localCheckpoint(eager=False)
             )
             ev = extract_evidence(uniq, id_col="norm_key", text_col="normalized",
-                                  gazetteer=self.gazetteer)
+                                  gazetteer=self.gazetteer, stages=self.stages)
             wide_u = resolved_wide(resolve_evidence(ev))  # mention_id == norm_key
             wide = keyed.join(
                 wide_u.withColumnRenamed("mention_id", "norm_key"), "norm_key", "left"
             )
         else:
             keyed = keyed.localCheckpoint(eager=False)
-            ev = extract_evidence(keyed, gazetteer=self.gazetteer)
+            ev = extract_evidence(keyed, gazetteer=self.gazetteer, stages=self.stages)
             wide = keyed.join(resolved_wide(resolve_evidence(ev)), "mention_id", "left")
         for c in ALL_COMPONENTS + ["overall_confidence"]:
             if c not in wide.columns:
