@@ -422,6 +422,31 @@ def q_p4_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A: aggregations
 
 
+def q_p6_entity_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record profiles: majority vote per component across an
+    entity's member mentions (count desc, value asc tie-break), plus
+    member count; entities with all-empty components still appear."""
+    from ai_bangladesh_address_parser_spark.operators.cluster import entity_profiles
+
+    comp = _components_df(spark, sf_dir)
+    ents = comp.withColumn(
+        "entity_id", F.lpad((F.col("mention_id").cast("int") % 40).cast("string"), 3, "0")
+    ).withColumn(
+        # minority variant: ~1/3 of members disagree on house_number
+        "house_number",
+        F.when(F.col("mention_id").cast("int") % 3 == 0, F.lit("999"))
+        .otherwise(F.col("house_number")),
+    ).withColumn(
+        # entity 000 has empty area for all members → '' in profile
+        "area", F.when(F.col("entity_id") == "000", F.lit("")).otherwise(F.col("area")),
+    )
+    prof = entity_profiles(ents, components=["house_number", "road", "area", "district"])
+    return prof.select(
+        "entity_id", "house_number", "road", "area", "district",
+        F.col("n_members").cast("bigint").alias("n_members"),
+    )
+
+
 def q_a1_resolve_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: evidence-weighted conflict resolution (agreement bonus /
     weighted vote / conflict penalty / total-order tie-breaks) over an
@@ -606,6 +631,70 @@ def q_x6_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + typed meta →
+    mapInPandas feature extraction (fake decoder). The oracle checks
+    the payload-flow outputs (kind, n_bytes, md5 checksum) — the
+    byte-histogram feature is pytest-verified."""
+    from ai_bangladesh_address_parser_spark.operators.multimodal import (
+        attach_media_meta,
+        extract_media_features,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    media = attach_media_meta(d, "doc_id", "payload", "text", "text/plain")
+    return extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "checksum")
+
+
+def q_m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan: per-payload byte offsets computed columnar
+    (no payload copies), capped at max_frames."""
+    from ai_bangladesh_address_parser_spark.operators.multimodal import (
+        attach_media_meta,
+        frame_sample_plan,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    media = attach_media_meta(d, "doc_id", "payload", "video", "application/octet-stream")
+    return frame_sample_plan(media, every_n_bytes=256, max_frames=5).select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("byte_offset").cast("bigint").alias("byte_offset"),
+    )
+
+
+def q_s9_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming incremental extraction (foreachBatch bridge,
+    availableNow trigger, checkpointed). Not SQL-expressible — no
+    oracle entry; the driver's rows-only check applies. Determinism and
+    batch/stream equivalence are pytest-verified (tests/test_streaming)."""
+    import tempfile
+
+    from ai_bangladesh_address_parser_spark.sources.pages import synth_pages
+    from ai_bangladesh_address_parser_spark.streaming.stream_extract import (
+        run_incremental_extract,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="abap_stream_q_")
+    in_dir, out_dir, ck_dir = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck"
+    pages, _ = synth_pages(spark, n_pages=60, n_entities=20, n_partitions=2)
+    pages.write.mode("overwrite").parquet(in_dir)
+    q = run_incremental_extract(spark, in_dir, out_dir, ck_dir)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()  # never leave a stream running in the driver session
+    return (
+        spark.read.parquet(out_dir)
+        .select("mention_id", "normalized", "house_number", "road", "area",
+                "district", "postal_code")
+        .orderBy("mention_id")
+    )
+
+
 def q_x2_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_bangladesh_address_parser_spark.operators.text_analysis import langid_cols
 
@@ -671,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_enrich": q_j8_enrich,
         "p3_validate": q_p3_validate,
         "p4_connected_components": q_p4_connected_components,
+        "p6_entity_profiles": q_p6_entity_profiles,
         "a1_resolve_conflict": q_a1_resolve_conflict,
         "a3_batch_stats": q_a3_batch_stats,
         "a4_confidence_histogram": q_a4_confidence_histogram,
@@ -683,6 +773,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_simhash": q_d4_simhash,
         "x1_ann_topk": q_x1_ann_topk,
         "x6_ann_lsh": q_x6_ann_lsh,
+        "m1_media_features": q_m1_media_features,
+        "m2_frame_sample": q_m2_frame_sample,
+        "s9_stream_extract": q_s9_stream_extract,
         "x2_langid": q_x2_langid,
         "x3_quality": q_x3_quality,
         "x4_token_count": q_x4_token_count,
@@ -1097,6 +1190,41 @@ def oracle_sql() -> dict[str, str]:
               union select r.n, e.b from reach r join e on r.m = e.a)
             select n as node, min(m) as component from reach group by n
         """,
+        "p6_entity_profiles": f"""
+            with comp as ({_COMP_SQL}),
+            ents as (
+              select lpad(cast(cast(mention_id as int) % 40 as varchar), 3, '0') as entity_id,
+                     case when cast(mention_id as int) % 3 = 0 then '999'
+                          else house_number end as house_number,
+                     road,
+                     case when cast(mention_id as int) % 40 = 0 then '' else area end as area,
+                     district
+              from comp),
+            long as (
+              select entity_id, 'house_number' as component, house_number as value from ents
+              union all select entity_id, 'road', road from ents
+              union all select entity_id, 'area', area from ents
+              union all select entity_id, 'district', district from ents),
+            counts as (select entity_id, component, value, count(*) as n
+                       from long where value is not null and value != ''
+                       group by 1, 2, 3),
+            win as (select *, row_number() over (partition by entity_id, component
+                          order by n desc, value asc) as rn from counts),
+            wide as (select entity_id,
+                            max(case when component = 'house_number' then value end) as house_number,
+                            max(case when component = 'road' then value end) as road,
+                            max(case when component = 'area' then value end) as area,
+                            max(case when component = 'district' then value end) as district
+                     from win where rn = 1 group by entity_id),
+            members as (select entity_id, count(*) as n_members from ents group by entity_id)
+            select m.entity_id,
+                   coalesce(w.house_number, '') as house_number,
+                   coalesce(w.road, '') as road,
+                   coalesce(w.area, '') as area,
+                   coalesce(w.district, '') as district,
+                   cast(m.n_members as bigint) as n_members
+            from members m left join wide w on m.entity_id = w.entity_id
+        """,
         "a1_resolve_conflict": """
             with ev as (
               select cast(l_orderkey as varchar) as mention_id,
@@ -1295,6 +1423,25 @@ def oracle_sql() -> dict[str, str]:
                   from scored)
             select query_id, neighbor_id, rank from r where rank <= 3
         """.format(signs_values=signs_values),
+        "m1_media_features": """
+            select cast(doc_id as varchar) as media_id,
+                   'text' as kind,
+                   cast(octet_length(cast(text as blob)) as bigint) as n_bytes,
+                   md5(text) as checksum
+            from documents
+        """,
+        "m2_frame_sample": """
+            with m as (select cast(doc_id as varchar) as media_id,
+                              octet_length(cast(text as blob)) as n_bytes
+                       from documents),
+            offs as (select media_id, g.o as byte_offset,
+                            row_number() over (partition by media_id order by g.o) - 1 as frame_idx
+                     from m cross join
+                          unnest(generate_series(0, greatest(n_bytes - 1, 0), 256)) as g(o))
+            select media_id, cast(frame_idx as bigint) as frame_idx,
+                   cast(byte_offset as bigint) as byte_offset
+            from offs where frame_idx < 5
+        """,
         "x2_langid": f"""
             with d as (select doc_id, {_DECOR_SQL} as text from documents),
             m as (select doc_id,

@@ -158,6 +158,40 @@ def write_division_files(path: str) -> list[str]:
     return files
 
 
+def write_postal_db(path: str) -> str:
+    """S4: serialize the postal-code DB in the reference's JSON shape
+    ``{"postal_codes": [{"code", "district", "postOffice"}, ...]}``
+    (loader at bangladesh_geo_offline.py:175-200; real file is 1,226
+    rows — this synthetic twin carries the gazetteer rows plus one
+    TSO entry per upazila, same schema)."""
+    from .gazetteer import POSTAL_CODES
+
+    os.makedirs(path, exist_ok=True)
+    entries = [
+        {"code": c, "district": d, "postOffice": po} for c, d, po in POSTAL_CODES
+    ] + [
+        {"code": c, "district": d, "postOffice": f"{n} TSO"}
+        for n, d, _dv, c in UPAZILAS
+    ]
+    fp = os.path.join(path, "bd-postal-codes.json")
+    with open(fp, "w", encoding="utf-8") as f:
+        json.dump({"postal_codes": entries}, f, ensure_ascii=False)
+    return fp
+
+
+def load_postal_db(spark: SparkSession, fp: str) -> DataFrame:
+    """S4 scan: postal-code DB JSON → (code, district, post_office)."""
+    return (
+        spark.read.option("multiLine", True).json(fp)
+        .select(F.explode("postal_codes").alias("p"))
+        .select(
+            F.col("p.code").alias("code"),
+            F.col("p.district").alias("district"),
+            F.col("p.postOffice").alias("post_office"),
+        )
+    )
+
+
 def load_geo_dims(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """The S3 scan: nested division JSON → three flat dims.
 

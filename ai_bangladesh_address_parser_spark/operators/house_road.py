@@ -324,6 +324,30 @@ _RESULT_TYPE = ArrayType(StructType([
 ]))
 
 
+def _rows_for_text(t: str | None) -> list[tuple[str, str, float]]:
+    """Per-mention extraction with D4 error isolation (the reference's
+    batch loop catches per-address errors and records them instead of
+    failing the batch, extractor.py:513-544): an exception becomes one
+    ``_error`` evidence row — never a task failure. ``_error`` is not a
+    component, so resolution/pivot ignore it; it stays queryable in the
+    evidence table."""
+    t = t or ""
+    try:
+        rows: list[tuple[str, str, float]] = []
+        h = extract_house(t)
+        if h:
+            rows.append(("house_number", h[0], h[1]))
+        r = extract_road(t, h[0] if h else None)
+        if r:
+            rows.append(("road", r[0], r[1]))
+        a = extract_area(t)
+        if a:
+            rows.append(("area", a[0], a[1]))
+        return rows
+    except Exception as e:  # noqa: BLE001 — isolation is the point
+        return [("_error", f"{type(e).__name__}: {e}"[:200], 0.0)]
+
+
 def house_road_area_evidence(
     mentions: DataFrame,
     id_col: str = "mention_id",
@@ -336,21 +360,7 @@ def house_road_area_evidence(
 
     @pandas_udf(_RESULT_TYPE)
     def _extract(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            t = t or ""
-            rows = []
-            h = extract_house(t)
-            if h:
-                rows.append(("house_number", h[0], h[1]))
-            r = extract_road(t, h[0] if h else None)
-            if r:
-                rows.append(("road", r[0], r[1]))
-            a = extract_area(t)
-            if a:
-                rows.append(("area", a[0], a[1]))
-            out.append(rows)
-        return pd.Series(out)
+        return pd.Series([_rows_for_text(t) for t in texts])
 
     return (
         mentions.select(

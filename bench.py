@@ -154,9 +154,14 @@ def run_bench() -> dict:
 
 # --- scaling mode ----------------------------------------------------------
 
-def prepare_scoring_input(spark, sf_dir: str, out_dir: str, n_pages: int = 8000) -> int:
+def prepare_scoring_input(spark, sf_dir: str, out_dir: str, n_pages: int = 16000) -> int:
     """Materialize the scored-pair input (pair ids + both sides'
-    components) once; the child runs only the scoring job over it."""
+    components) once; the child runs only the scoring job over it.
+
+    Blocking here runs at MENTION level (not unique level) — the
+    scaling bench measures scorer throughput and needs ~10M pairs so
+    the 4N run amortizes fixed job overhead; composite district keys
+    cut pair volume 4x vs round 1, hence the larger page count."""
     from ai_bangladesh_address_parser_spark.operators.scoring import attach_pair_components
     from ai_bangladesh_address_parser_spark.plans.pipeline import LinkagePlan
     from ai_bangladesh_address_parser_spark.sources.pages import synth_pages
@@ -187,9 +192,13 @@ def score_bench(cpus: int, pairs_dir: str) -> dict:
     n = pairs.count()  # warm: JVM up, file listing done, pages in page cache
     scored = score_pairs(pairs, scorer="levenshtein")
     scored.filter(F.col("is_match")).count()  # warm: JIT-compile codegen
-    t = time.time()
-    n_match = scored.filter(F.col("is_match")).count()
-    dt = time.time() - t
+    # best-of-3 in-JVM: a single measurement carries scheduler/host
+    # noise; the min is the closest estimate of the machine's capability
+    dt = float("inf")
+    for _ in range(3):
+        t = time.time()
+        n_match = scored.filter(F.col("is_match")).count()
+        dt = min(dt, time.time() - t)
     # same-JVM calibration: a trivially parallel pure-CPU job measuring
     # what THIS box actually gives `cpus` threads (captures the
     # turbo-frequency and host-contention ceiling that a real N→4N

@@ -116,3 +116,16 @@ def test_positional_postal_regex_occurrence(spark):
         exp = m.group(1) if m and m.end() > len(r["t"]) * 0.5 else None
         got = r["s"]["value"] if r["s"] else None
         assert got == exp, r["t"]
+
+
+def test_postal_db_roundtrip(spark, tmp_path):
+    """S4: the reference-shaped postal-code DB JSON loads back to the
+    flat dim (gazetteer rows + one TSO entry per upazila)."""
+    from ai_bangladesh_address_parser_spark.data.gazetteer import POSTAL_CODES
+
+    fp = gh.write_postal_db(str(tmp_path))
+    df = gh.load_postal_db(spark, fp)
+    rows = {tuple(r) for r in df.collect()}
+    assert len(rows) == len(POSTAL_CODES) + len(gh.UPAZILAS)
+    assert ("1212", "Dhaka", "Gulshan") in rows
+    assert ("1340", "Dhaka", "Savar TSO") in rows

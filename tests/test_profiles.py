@@ -83,3 +83,19 @@ def test_bangla_block_letter_map(spark):
     got = {r["mention_id"]: r.asDict() for r in wide.collect()}
     assert got["k1"]["block_number"] == "Ka"
     assert got["k2"]["block_number"] == "Kha"
+
+
+def test_d4_error_isolation(monkeypatch):
+    """A per-mention extraction exception becomes an _error evidence
+    row, never a failure (reference batch loop, extractor.py:513-544)."""
+    from ai_bangladesh_address_parser_spark.operators import house_road as hr
+
+    def boom(t):
+        raise ValueError("synthetic failure")
+
+    monkeypatch.setattr(hr, "extract_house", boom)
+    rows = hr._rows_for_text("House 5, Dhaka")
+    assert rows == [("_error", "ValueError: synthetic failure", 0.0)]
+    # normal path unaffected
+    monkeypatch.undo()
+    assert ("house_number", "5", 0.96) in hr._rows_for_text("House 5, Dhaka")
