@@ -164,6 +164,22 @@ def regex_evidence(mentions: DataFrame, id_col: str = "mention_id",
     text = F.col(text_col)
     tiers = _REGEX_TIERS if deep else _REGEX_TIERS + _REGEX_TIERS_HOUSE_ROAD
     structs = _tier_structs(text, tiers, "regex") + [_positional_postal(text, "regex", 0.80)]
+    # T9 group-concat flat form "(A)(5)" → "A5"
+    # (flat_number_processor.py:617-830 concat family): two captures
+    # joined — not expressible as a single-tier regexp_extract
+    fc_pat = r"(?iU)\(\s*([A-Za-z])\s*\)\s*\(\s*(\d+)\s*\)"
+    fc_a, fc_b = F.regexp_extract(text, fc_pat, 1), F.regexp_extract(text, fc_pat, 2)
+    structs.append(
+        F.when(
+            (fc_a != "") & (fc_b != ""),
+            F.struct(
+                F.lit("flat_number").alias("component"),
+                F.concat(fc_a, fc_b).alias("value"),
+                F.lit(0.85).alias("confidence"),
+                F.lit("regex").alias("source"),
+            ),
+        )
+    )
     if fsm:
         structs = (_tier_structs(text, _FSM_TIERS, "fsm")
                    + [_positional_postal(text, "fsm", 0.75)] + structs)
@@ -421,8 +437,9 @@ def fuzzy_area_evidence(
         .unionByName(gz.area_variants_df(spark0).select(F.col("variant").alias("k")))
         .distinct()
     )
+    # single scan of the evidence union feeds all three gates below
     area_ev = evidence.filter(F.col("component") == "area").select(
-        "mention_id", F.lower("value").alias("k")).distinct()
+        "mention_id", F.lower("value").alias("k")).distinct().localCheckpoint(eager=False)
     has_area = area_ev.select("mention_id").distinct()
     no_area = mentions.select(F.col(id_col).alias("mention_id"), F.col(text_col)).join(
         has_area, "mention_id", "left_anti"
@@ -604,8 +621,18 @@ def geo_evidence(
 
     spark = mentions.sparkSession
 
+    # one scan of the evidence union serves every gate below (the
+    # has()/value lookups otherwise re-derive the full union ~8 times —
+    # measured ~40 s of the sf0.1 extract stage)
+    ev_idx = (
+        evidence.filter(F.col("component").isin("area", "district", "division"))
+        .select("mention_id", "component", F.lower("value").alias("lv"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
     def has(comp: str) -> DataFrame:
-        return (evidence.filter(F.col("component") == comp)
+        return (ev_idx.filter(F.col("component") == comp)
                 .select("mention_id").distinct())
 
     no_area = mentions.select(F.col(id_col).alias("mention_id"), F.col(text_col)).join(
@@ -640,8 +667,8 @@ def geo_evidence(
     # J3 auto-fill branch (geographic_validator.py:37-169): a mention
     # WITH area evidence whose value IS an upazila/union name gets its
     # area validated (0.95) and district/division filled when missing.
-    area_vals = (evidence.filter(F.col("component") == "area")
-                 .select("mention_id", F.lower("value").alias("vkey")).distinct())
+    area_vals = (ev_idx.filter(F.col("component") == "area")
+                 .select("mention_id", F.col("lv").alias("vkey")).distinct())
 
     def val_hits(dim: DataFrame, conf_area: float, conf_fill: float) -> tuple:
         d = dim.select(F.lower("name").alias("k"), "name", "district", "division")

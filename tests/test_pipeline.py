@@ -124,3 +124,32 @@ def test_linkage_end_to_end(spark, sf_dir, tmp_path):
     ids1 = {r.mention_id: r.entity_id for r in ents.collect()}
     ids2 = {r.mention_id: r.entity_id for r in ents2.collect()}
     assert ids1 == ids2
+
+
+def test_multi_mention_page(spark):
+    """FIXTURES F1: a page with two distinct embedded addresses yields
+    two mentions with (url, mention_idx) ids and two different entity
+    ids; pages sharing one of those addresses link to it."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from ai_bangladesh_address_parser_spark.sources.pages import PAGES_SCHEMA
+
+    two = ("Our offices. House 12, Road 5, Gulshan, Dhaka-1212. "
+           "Warehouse at House 34, Road 7, Agrabad, Chattogram-4100. Call us.")
+    one_a = "Visit House 12, Road 5, Gulshan, Dhaka-1212. Thanks."
+    one_b = "Depot: House 34, Road 7, Agrabad, Chattogram-4100. Hours 9-5."
+    rows = [("u1", None, None, two, "en"),
+            ("u2", None, None, one_a, "en"),
+            ("u3", None, None, one_b, "en")]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    ents = LinkagePlan(spark).run(pages).cache()
+
+    u1 = {r["mention_id"]: r for r in ents.filter(F.col("url") == "u1").collect()}
+    assert set(u1) == {"u1#0", "u1#1"}, "two mentions harvested from u1"
+    e_dhaka, e_ctg = u1["u1#0"]["entity_id"], u1["u1#1"]["entity_id"]
+    assert e_dhaka != e_ctg, "distinct addresses → distinct entities"
+
+    u2 = ents.filter(F.col("url") == "u2").collect()[0]
+    u3 = ents.filter(F.col("url") == "u3").collect()[0]
+    assert u2["entity_id"] == e_dhaka
+    assert u3["entity_id"] == e_ctg

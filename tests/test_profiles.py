@@ -99,3 +99,11 @@ def test_d4_error_isolation(monkeypatch):
     # normal path unaffected
     monkeypatch.undo()
     assert ("house_number", "5", 0.96) in hr._rows_for_text("House 5, Dhaka")
+
+
+def test_flat_group_concat(spark):
+    """T9: '(A)(5)' concatenates to flat 'A5'
+    (flat_number_processor.py:617-830)."""
+    df = _mentions(spark, [("f1", "House 9, Flat (A)(5), Gulshan, Dhaka")])
+    wide = resolved_wide(resolve_evidence(extract_evidence(df)))
+    assert wide.collect()[0]["flat_number"] == "A5"
