@@ -1032,16 +1032,20 @@ def oracle_sql() -> dict[str, str]:
                              when 2 then 'savarhat1' when 3 then 'patiyahat3'
                              when 4 then NULL else 'savar' end) as key, g, g12
                     from m),
-            has_area as (select mention_id from m where g = 5),
+            av as (select mention_id, 'gulshan' as v from m where g = 5),
             has_district as (select mention_id from m where g12 = 0),
             up as (select lower(name) as k, name, district, division from {up_values}),
             unn as (select lower(name) as k, name, district, division from {un_values}),
             uhit as (select t.mention_id, u.name, u.district, u.division
                      from tok t join up u on t.key = u.k
-                     where t.mention_id not in (select mention_id from has_area)),
+                     where not exists (select 1 from av a
+                                       where a.mention_id = t.mention_id
+                                         and instr(a.v, u.k) > 0)),
             nhit as (select t.mention_id, u.name, u.district, u.division
                      from tok t join unn u on t.key = u.k
-                     where t.mention_id not in (select mention_id from has_area)
+                     where not exists (select 1 from av a
+                                       where a.mention_id = t.mention_id
+                                         and instr(a.v, u.k) > 0)
                        and t.mention_id not in (select mention_id from uhit))
             select mention_id, 'area' as component, name as value,
                    cast(0.90 as double) as confidence,

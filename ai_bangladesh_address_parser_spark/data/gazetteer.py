@@ -131,6 +131,13 @@ AREAS: list[tuple[str, str, str]] = [
     ("Shiababi", "Rajshahi", "6000"), ("Boalia", "Rajshahi", "6100"),
     ("Sonadanga", "Khulna", "9100"), ("Daulatpur", "Khulna", "9202"),
     ("Rupatali", "Barisal", "8200"),
+    # second tranche mirroring the reference's ~400-entry common_areas
+    # vocabulary (area_processor.py:93-133, district_processor.py:410-514):
+    # high-frequency localities from the labeled corpus
+    ("Jatrabari", "Dhaka", "1204"), ("Azimpur", "Dhaka", "1205"),
+    ("Khilkhet", "Dhaka", "1229"), ("Bashabo", "Dhaka", "1214"),
+    ("Rampura", "Dhaka", "1219"), ("Cantonment", "Dhaka", "1206"),
+    ("Old Dhaka", "Dhaka", "1100"), ("Patenga", "Chattogram", "4204"),
 ]
 
 # area spelling variants (variant_lower, canonical_area)

@@ -64,6 +64,19 @@ _REAL_UPAZILAS: dict[str, list[str]] = {
 }
 
 
+# Real "<district> Sadar" upazilas of satellite districts (public admin
+# geography; the reference's full 598-upazila set includes one Sadar
+# upazila for most non-metro districts — bangladesh_geo_offline.py dims).
+# These districts sit in divisions already covered by _DISTRICT_PLAN, so
+# the per-division JSON serialization picks them up unchanged.
+_SATELLITE_UPAZILAS: list[tuple[str, str, str]] = [
+    ("Gazipur Sadar", "Gazipur", "1700"),
+    ("Narayanganj Sadar", "Narayanganj", "1400"),
+    ("Naogaon Sadar", "Naogaon", "6500"),
+    ("Bogura Sadar", "Bogura", "5800"),
+]
+
+
 def _build() -> tuple[list[tuple], list[tuple], list[tuple]]:
     upazilas, unions, villages = [], [], []
     for district, n_up, base in _DISTRICT_PLAN:
@@ -79,6 +92,8 @@ def _build() -> tuple[list[tuple], list[tuple], list[tuple]]:
                 villages.append(
                     (f"{name}gram{j}", f"{name}hat1", name, district, division, code)
                 )
+    for name, district, code in _SATELLITE_UPAZILAS:
+        upazilas.append((name, district, DISTRICT_TO_DIVISION[district], code))
     return upazilas, unions, villages
 
 
@@ -113,7 +128,10 @@ def villages_df(spark: SparkSession) -> DataFrame:
 def _division_tree(division: str) -> list[dict]:
     """Nested district objects for one division."""
     out = []
-    for district, n_up, _ in _DISTRICT_PLAN:
+    districts = [d for d, _, _ in _DISTRICT_PLAN] + sorted(
+        {d for _, d, _ in _SATELLITE_UPAZILAS}
+    )
+    for district in districts:
         if DISTRICT_TO_DIVISION[district] != division:
             continue
         ups = []

@@ -86,7 +86,9 @@ _REGEX_TIERS: list[tuple[str, str, int, float]] = [
     ("flat_number", r"(?iU)floor,?\s+(\d+[A-Za-z])\b", 1, 0.80),
     ("floor_number", r"(?iU)\b(\d+(?:st|nd|rd|th)?[A-Za-z]?)\s*(?:floor|fl)\b", 1, 0.88),
     ("floor_number", r"(?iU)\b(?:floor|level|lift)\s*[.\-]?\s*([A-Za-z0-9]+)\b", 1, 0.85),
-    ("block_number", r"(?iU)\b(?:block|blk|sector)\s*(?:no|number)?\s*[.\-]?\s*([A-Za-z0-9ঀ-৿]+)", 1, 0.90),
+    # block codes are short (A, B2, 11, ক) — an arbitrary following word
+    # ("Block Basundhara") is a locality, not a code
+    ("block_number", r"(?iU)\b(?:block|blk|sector)\s*(?:no|number)?\s*[.\-]?\s*([A-Za-z]{1,2}\d*|\d+[A-Za-z]?|[ঀ-৿]+)\b(?![\w-])", 1, 0.90),
     ("block_number", r"(?iU)\b(\d+|[A-Za-zঀ-৿])\s*(?:block|blk)\b", 1, 0.88),
 ]
 
@@ -211,8 +213,11 @@ def _token_candidates(mentions: DataFrame, id_col: str, text_col: str) -> DataFr
         F.posexplode(parts).alias("part_idx", "part"),
         F.size(parts).alias("n_parts"),
     )
-    # strip trailing "-1234" postal glue and danglers like Bangla danda
-    clean = F.lower(F.trim(F.regexp_replace(F.col("part"), r"(?U)\s?-\s?\d{4}|[।.]", "")))
+    # strip trailing "-1234" postal glue, "-1"/"-12" sector suffixes
+    # ("Mirpur-1" tokens must reach the vocabulary as "mirpur"), and
+    # danglers like Bangla danda
+    clean = F.lower(F.trim(F.regexp_replace(
+        F.col("part"), r"(?U)\s?-\s?\d{4}\b|-\d{1,2}\b|[।.]", "")))
     toks = F.split(clean, r"(?U)\s+")
     df = df.select(
         "mention_id", "part_idx", "n_parts", clean.alias("part_clean"), toks.alias("toks")
@@ -260,18 +265,71 @@ def vocab_evidence(mentions: DataFrame, id_col: str = "mention_id", text_col: st
 
     av = F.broadcast(gz.area_variants_df(spark))
     ahits = toks.join(av, toks.key == av.variant, "inner")
+    # comma-part index of each district mention: an area hit in the part
+    # directly before a city/district name takes the reference's massive
+    # "before_city_immediate" boost (area_processor.py:784-791) — here a
+    # higher confidence tier so it wins the Stage-8 vote over ordinary
+    # vocabulary hits ("... Monipur, Mirpur, Dhaka" → Mirpur).
+    dist_parts = (
+        dhits.groupBy("mention_id")
+        .agg(F.collect_set("part_idx").alias("dpi"))
+    )
     # middle-of-address position is the classic area slot → small bonus
     area_ev = (
-        ahits.groupBy("mention_id", "area")
-        .agg(F.max((F.col("part_idx") > 0) & (F.col("part_idx") < F.col("n_parts") - 1)).alias("mid"))
+        ahits.join(dist_parts, "mention_id", "left")
+        .withColumn(
+            "before_city",
+            F.coalesce(F.array_contains(F.col("dpi"), F.col("part_idx") + 1), F.lit(False)),
+        )
+        .groupBy("mention_id", "area")
+        .agg(
+            F.max((F.col("part_idx") > 0) & (F.col("part_idx") < F.col("n_parts") - 1)).alias("mid"),
+            F.max("before_city").alias("bc"),
+        )
         .select(
             "mention_id",
             F.lit("area").alias("component"),
             F.col("area").alias("value"),
-            F.when(F.col("mid"), 0.88).otherwise(0.85).alias("confidence"),
+            F.when(F.col("bc"), 0.92)
+             .when(F.col("mid"), 0.88).otherwise(0.85).alias("confidence"),
             F.lit("regex").alias("source"),
         )
     )
+
+    # fuzzy district recovery for the final comma-part: a trailing token
+    # within edit distance 1 of a district variant ("Sylhe", "Dhak a"
+    # truncations, "Dhakka" typos) emits low-confidence district
+    # evidence when no exact variant matched — the reference's district
+    # vocabulary bakes misspellings in (district_processor.py:292-319);
+    # edit-distance-1 generalizes the same tolerance. Broadcast
+    # nested-loop against the ~130-row variant dim, pre-filtered by
+    # token length — linear in tokens, no shuffle.
+    has_exact = dhits.select("mention_id").distinct()
+    last_toks = (
+        # n_parts >= 2: only comma-structured (address-like) text — a
+        # comma-less prose page would otherwise offer its every word
+        toks.filter((F.col("part_idx") == F.col("n_parts") - 1)
+                    & (F.col("n_parts") >= 2) & (F.length("key") >= 4))
+        .join(has_exact, "mention_id", "left_anti")
+    )
+    fuzzy_dist = (
+        last_toks.join(
+            dv,
+            (F.abs(F.length(last_toks.key) - F.length(dv.variant)) <= 1)
+            & (F.levenshtein(last_toks.key, dv.variant) == 1),
+            "inner",
+        )
+        .groupBy("mention_id", "district")
+        .agg(F.count(F.lit(1)))
+        .select(
+            "mention_id",
+            F.lit("district").alias("component"),
+            F.col("district").alias("value"),
+            F.lit(0.75).alias("confidence"),
+            F.lit("regex").alias("source"),
+        )
+    )
+    dist_ev = dist_ev.unionByName(fuzzy_dist)
 
     divs = F.broadcast(
         gz.district_division_df(spark).select(F.lower("division").alias("variant"), "division").distinct()
@@ -604,12 +662,19 @@ def geo_evidence(
 ) -> DataFrame:
     """J5: proactive geo extraction (geographic_validator.py:171-229).
 
-    For mentions with NO area evidence, scan the text for an upazila
-    name (area 0.90, 'geographic_upazila_extraction'; auto-fill
-    district/division 0.95 'geographic_inferred_from_upazila' when those
-    are missing too); if no upazila hits, fall back to union names
-    (area 0.85 'geographic_union_extraction', district/division 0.90
+    Scan the text for an upazila name (area 0.90,
+    'geographic_upazila_extraction'; auto-fill district/division 0.95
+    'geographic_inferred_from_upazila' when those are missing too); if
+    no upazila hits, fall back to union names (area 0.85
+    'geographic_union_extraction', district/division 0.90
     'geographic_inferred_from_union').
+
+    Gate (reference :189-191): a hit is emitted unless an existing area
+    evidence value already CONTAINS the matched name — not merely when
+    area evidence exists. A mention extracted as area="Dakhin
+    Chayabithi" that also says "Gazipur Sadar" still gets the upazila
+    evidence, and Stage-8 voting decides (geographic weight 0.95 ×
+    0.90 beats a sub-vocabulary positional candidate).
 
     Spark shape: one token explode of the no-area subset, two broadcast
     hash joins against the upazila/union dims (the reference's
@@ -635,16 +700,27 @@ def geo_evidence(
         return (ev_idx.filter(F.col("component") == comp)
                 .select("mention_id").distinct())
 
-    no_area = mentions.select(F.col(id_col).alias("mention_id"), F.col(text_col)).join(
-        has("area"), "mention_id", "left_anti"
-    )
-    toks = _token_candidates(no_area, "mention_id", text_col).select("mention_id", "key")
+    all_m = mentions.select(F.col(id_col).alias("mention_id"), F.col(text_col))
+    toks = _token_candidates(all_m, "mention_id", text_col).select("mention_id", "key")
+
+    # existing area evidence values, for the containment gate
+    area_ev_vals = (ev_idx.filter(F.col("component") == "area")
+                    .select("mention_id", F.col("lv").alias("av")))
 
     def hits(dim: DataFrame) -> DataFrame:
         d = dim.select(F.lower("name").alias("k"), "name", "district", "division")
+        raw = toks.join(F.broadcast(d), toks.key == d.k, "inner")
+        # drop hits whose name is already contained in an area value of
+        # the same mention (equi-join on mention_id + instr predicate —
+        # stays a hash join, the containment test rides along)
+        gated = raw.join(
+            area_ev_vals,
+            (raw.mention_id == area_ev_vals.mention_id)
+            & (F.instr(area_ev_vals.av, raw.k) > 0),
+            "left_anti",
+        )
         return (
-            toks.join(F.broadcast(d), toks.key == d.k, "inner")
-            .groupBy("mention_id")
+            gated.groupBy("mention_id")
             .agg(F.max_by(
                 F.struct("name", "district", "division"),
                 F.struct(F.length("name"), F.col("name")),

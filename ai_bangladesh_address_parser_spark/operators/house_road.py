@@ -58,18 +58,33 @@ _HOUSE_TIERS = [
     # standalone number opening a later comma part, before a capitalized
     # location word — the ':465-468' capitalized-word exception as a tier
     ("positional", re.compile(r",\s*(\d{1,4}[A-Za-z]?)\s+(?=[A-Z])"), 0.82),
+    # "218 by 8" — colloquial n-by-m holding number; the first number is
+    # the house
+    ("by", re.compile(r"(?i)\b(\d{1,4})\s+by\s+\d{1,4}\b"), 0.80),
+    # "U No 19" (normalized from "U#19"): unit letter + number concat
+    ("letter_no", re.compile(r"(?i)^\W{0,3}([A-Za-z])\s*no\s*[-.]?\s*(\d{1,4})\b"), 0.85),
 ]
 
 _ROAD_TIERS = [
     ("keyword_no", re.compile(
-        r"(?i)\b(?:road|rd|lane|ln|avenue|ave|line|sarani|sarak)\s*"
-        r"(?:no\.?|number|#|:)?\s*[-–]?\s*(\d+(?:/[A-Za-z0-9]+)*[A-Za-z]?)\b"), 0.95),
+        r"(?i)\b(?:road|rd|lane|ln|avenue|ave|sarani|sarak)\s*"
+        r"(?:no\.?|number|#|:)?\s*[-–]?\s*(\d+(?:/[A-Za-z0-9ঀ-৿]+)*[A-Za-z]?)\b"), 0.95),
+    # "Line 16" keeps its keyword: the labeled corpus treats Line as part
+    # of the road name ("Block #C, Line #16" → road "Line 16"), unlike
+    # Road/Lane which are stripped
+    ("keyword_no", re.compile(
+        r"(?i)\b(line\s*(?:no\.?|number|#|:)?\s*[-–]?\s*\d+[A-Za-z]?)\b"), 0.95),
     # "6 No. Road" / "6 Road" — number BEFORE the keyword
     ("keyword_no", re.compile(
         r"(?i)\b(\d+[A-Za-z]?)\s*(?:no\.?\s*)?(?:road|goli|lane|avenue)\b"), 0.88),
     ("named", re.compile(
         r"(?i)(?<![\w-])((?:[A-Za-zঀ-৿][\wঀ-৿.''&-]*\s+){1,5}?"
         r"(?:road|rd|lane|avenue|street|goli|sarani|sarak|রোড|লেন|গলি))(?=[\s,.(]|$)"), 0.85),
+    # "Yugichad Mosque Line": Line as a road suffix only after
+    # capitalized proper-noun words (case-sensitive) — lowercase "line"
+    # is ordinary prose ("assembly line") and must not become a road
+    ("named", re.compile(
+        r"(?<![\w-])((?:[A-Z][\w.''&-]*\s+){1,4}Line)(?=[\s,.(]|$)"), 0.85),
     ("feet", re.compile(r"(?i)\b(\d+\s*(?:feet|ft))\b"), 0.92),
     ("compact", re.compile(r"(?i)\br\s*[-]\s*(\d+[A-Za-z]?)\b"), 0.85),
 ]
@@ -83,7 +98,7 @@ _DISTRICT_WORDS = (
 
 _ROAD_NAME_STOP = re.compile(
     r"(?i)\b(?:house|holding|building|bldg|plot|basa|basha|flat|floor|block|sector|"
-    r"no|number|main|side|behind|beside|near|opposite|front)\b")
+    r"no|number|side|behind|beside|near|opposite|front)\b")
 
 _DIRECTIONAL = re.compile(
     r"(?i)^(?:north|south|east|west|new|old|purbo|poschim|uttor|dokkhin|middle|"
@@ -168,6 +183,12 @@ def _house_candidates(text: str) -> list[Cand]:
             # not part of the value — the reference's contextual tier
             # captures only the number
             v = re.sub(r"(?i)^h[-/ ]+(?=\d)", "", v)
+            if method == "letter_no":
+                v = m.group(1).upper() + m.group(2)      # "U No 19" → U19
+            elif method == "positional" and m.start(1) == 0:
+                # a leading single letter + dash is a block prefix, not
+                # part of the house number ("B-33/1" → house 33/1)
+                v = re.sub(r"(?i)^[A-Za-z]-(?=\d)", "", v)
             out.append(Cand(v, conf, method, m.start(1), m.end(1)))
     return out
 
@@ -203,6 +224,9 @@ def _house_priority(c: Cand, text: str, all_cands: list[Cand]) -> float:
         p += 2500
     if c.method == "slash" and c.start < len(text) * 0.3:
         p += 2000
+    if c.method == "positional" and re.match(
+            r"\s+[A-Z][\w.]*\s+(?:road|lane|avenue)\b", text[c.end:], re.I):
+        p += 300      # "116 DIT Road": number fronting a named road
     if re.search(r"\d+\s*-\s*\d+", c.value):
         p += 1000
     if re.fullmatch(r"\d+[A-Za-z]", c.value):
@@ -249,6 +273,13 @@ def extract_road(text: str, house_value: str | None) -> tuple[str, float] | None
                 words = name_part.split()
                 while words and _ROAD_NAME_STOP.fullmatch(words[0]):
                     words = words[1:]
+                # Bangla-script road names: the labeled corpus keeps only
+                # the word adjacent to the keyword ("... ফার্মেসির পাশের
+                # গলি" → "পাশের গলি"), while English names keep the full
+                # phrase — mirror the reference's single-token Bangla
+                # capture (road_processor Bangla রোড/গলি patterns)
+                if words and re.search(r"[ঀ-৿]", words[-1]):
+                    words = words[-1:]
                 name_part = " ".join(words)
                 if not name_part or _ROAD_NAME_STOP.search(name_part) or len(name_part) < 3:
                     continue
@@ -277,7 +308,10 @@ def extract_area(text: str) -> tuple[str, float] | None:
     comma-part candidates, exclusion guards, position/context bonuses,
     argmax. Emitted at the computed confidence so gazetteer-validated
     evidence still outvotes it when the vocabulary knows better."""
-    parts = [p.strip(" .,-–") for p in text.split(",")]
+    # parenthetical asides ("AK Khan More (Green Gulbahar Tower)") are
+    # landmarks, not part of the locality candidate
+    text_np = re.sub(r"\([^)]*\)", " ", text)
+    parts = [re.sub(r"\s+", " ", p).strip(" .,-–") for p in text_np.split(",")]
     n = len(parts)
     if n < 2:
         return None
@@ -304,6 +338,11 @@ def extract_area(text: str) -> tuple[str, float] | None:
             score += 0.30                                # right before city
         if _DIRECTIONAL.search(part):
             score += 0.15
+        # residential-area keyword marks the part as a locality
+        # (area_processor keyword factors: "Abashik", "R/A",
+        # "Residential Area", "Housing")
+        if re.search(r"(?i)\babashik\b|\br/?a\b|\bresidential\b|\bhousing\b", part):
+            score += 0.30
         if best is None or score > best[1] or (score == best[1] and part < best[0]):
             best = (part, score)
     if best is None:

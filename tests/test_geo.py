@@ -30,7 +30,8 @@ def test_geo_json_roundtrip(spark, tmp_path):
 def test_geo_invariants():
     from ai_bangladesh_address_parser_spark.data.gazetteer import DISTRICT_TO_DIVISION
 
-    assert len(gh.UPAZILAS) == 50 and len(gh.UNIONS) == 150 and len(gh.VILLAGES) == 100
+    # 50 plan upazilas + 4 satellite "<district> Sadar" upazilas
+    assert len(gh.UPAZILAS) == 54 and len(gh.UNIONS) == 150 and len(gh.VILLAGES) == 100
     codes = [c for _, _, _, c in gh.UPAZILAS]
     assert len(codes) == len(set(codes)), "postal codes unique per upazila"
     for _, d, dv, _ in gh.UPAZILAS:
@@ -71,12 +72,14 @@ def test_geo_evidence_gating(spark):
         ("m1", "house 5, savar, dhaka"),   # upazila hit, fills all three
         ("m2", "house 7, savarhat1"),      # union hit (no upazila)
         ("m3", "plain text no geo"),       # nothing
-        ("m4", "house 9, patiya"),         # has area evidence -> skipped
+        ("m4", "house 9, patiya"),         # area ev 'Gulshan' doesn't contain it -> emitted
         ("m5", "house 1, dhamrai"),        # has district evidence -> no district fill
+        ("m6", "house 2, savar"),          # area ev 'Savar Bazar' CONTAINS it -> skipped
     ], "mention_id string, normalized string")
     ev = spark.createDataFrame(
         [("m4", "area", "Gulshan", 0.9, "regex"),
-         ("m5", "district", "Dhaka", 0.9, "regex")],
+         ("m5", "district", "Dhaka", 0.9, "regex"),
+         ("m6", "area", "Savar Bazar", 0.9, "regex")],
         "mention_id string, component string, value string, confidence double, source string")
     rows = {(r["mention_id"], r["component"]): (r["value"], r["confidence"], r["source"])
             for r in geo_evidence(mentions, ev).collect()}
@@ -85,7 +88,10 @@ def test_geo_evidence_gating(spark):
     assert rows[("m2", "area")] == ("Savarhat1", 0.85, "geographic_union_extraction")
     assert rows[("m2", "district")][2] == "geographic_inferred_from_union"
     assert ("m3", "area") not in rows
-    assert ("m4", "area") not in rows
+    # reference gate (geographic_validator.py:189-191): existing area
+    # evidence blocks a hit only when its value CONTAINS the name
+    assert rows[("m4", "area")] == ("Patiya", 0.90, "geographic_upazila_extraction")
+    assert ("m6", "area") not in rows
     assert ("m5", "area") in rows and ("m5", "district") not in rows
     assert rows[("m5", "division")][2] == "geographic_inferred_from_upazila"
 

@@ -6,8 +6,8 @@ harness canonicalizes the reference's stylistically inconsistent labels
 (see tools/eval_golden.canon) before comparing.
 
 Thresholds are pinned just below the measured accuracy of the deep
-extraction battery (house .913, road .859, area .781, district .946,
-division .955, postal 1.0, flat 1.0, floor 1.0, block .929) so any
+extraction battery (house .935, road .923, area .933, district 1.0,
+division 1.0, postal 1.0, flat 1.0, floor 1.0, block .964) so any
 regression in guards/priority logic fails loudly. Extraction is
 deterministic — no flakiness margin needed beyond label noise already
 measured.
@@ -23,9 +23,9 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 THRESHOLDS = {
-    "house_number": 0.89, "road": 0.84, "area": 0.74,
-    "district": 0.94, "division": 0.94, "postal_code": 0.99,
-    "flat_number": 0.95, "floor_number": 0.99, "block_number": 0.90,
+    "house_number": 0.92, "road": 0.91, "area": 0.92,
+    "district": 0.99, "division": 0.99, "postal_code": 0.99,
+    "flat_number": 0.95, "floor_number": 0.99, "block_number": 0.95,
 }
 
 

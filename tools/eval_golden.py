@@ -29,7 +29,16 @@ COMPONENTS = ["house_number", "road", "area", "district", "division",
 
 
 def canon(component: str, v: str | None) -> str:
-    v = (v or "").strip().lower()
+    v = (v or "").strip()
+    # the pipeline's Stage-2 normalizer transliterates Bangla place
+    # names before extraction (reference normalizer.py:19-33), so a
+    # Bangla-script label (ধানমন্ডি) and the extracted Banglish value
+    # (Dhanmondi) are the same value — apply the same table to both
+    # sides before comparing
+    from ai_bangladesh_address_parser_spark.reference_semantics import BN_PLACES
+    for bn, en in BN_PLACES:
+        v = v.replace(bn, en)
+    v = v.lower()
     v = v.translate(str.maketrans("০১২৩৪৫৬৭৮৯", "0123456789"))
     v = v.replace("#", "").replace("নং", "").strip()
     if component == "house_number":
@@ -37,7 +46,7 @@ def canon(component: str, v: str | None) -> str:
         v = re.sub(r"^h[\s-]+(?=\d)", "", v)
     if component == "road":
         v = v.replace(":", " ")
-        v = re.sub(r"\b(?:road|rd\.?|lane|ln\.?|avenue|ave\.?|no\.?|number|sarani|sarak|goli|রোড|লেন|গলি|সড়ক)\b", " ", v)
+        v = re.sub(r"\b(?:road|rd\.?|lane|ln\.?|avenue|ave\.?|no\.?|number|sarani|sarak|goli|রোড|লেন|গলি|সড়ক|নাম্বার)\b", " ", v)
         v = re.sub(r"^r\b\.?", " ", v)
     if component == "floor_number":
         v = re.sub(r"(?<=\d)(?:st|nd|rd|th)\b", "", v)
@@ -45,6 +54,14 @@ def canon(component: str, v: str | None) -> str:
     if component in ("flat_number", "block_number"):
         v = re.sub(r"\b(?:flat|block|blk|sector|apt|apartment|suite|unit|no\.?)\b", " ", v)
         v = v.replace("-", "").replace("/", "")
+    if component == "district":
+        # 2018 official renamings — one district, two spellings in the
+        # labeled corpus (Comilla/Cumilla, Bogra/Bogura, Jessore/
+        # Jashore, Barisal/Barishal, Chittagong/Chattogram)
+        renames = {"comilla": "cumilla", "bogra": "bogura",
+                   "jessore": "jashore", "barishal": "barisal",
+                   "chittagong": "chattogram"}
+        v = renames.get(v, v)
     if component == "area":
         v = re.sub(r"\b(?:north|south|east|west|middle|new|old|uttor|dokkhin|purbo|poschim|পূর্ব|পশ্চিম|উত্তর|দক্ষিণ)\b", " ", v)
         v = re.sub(r"\br/?a\b|\bresidential\s+area\b|\babashik\b", " ", v)
