@@ -369,6 +369,40 @@ def q_j8_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_j2_position_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 strategy 1: position-based area back-extraction — the word
+    between the road and district evidence values matched against the
+    gazetteer (exact 0.90 / charset-Jaccard fuzzy 0.80)."""
+    from ai_bangladesh_address_parser_spark.operators.extract import (
+        position_area_evidence,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    tok_arr = F.array(F.lit("gulshan"), F.lit("gulshen"), F.lit("zzznope"),
+                      F.lit("banani"), F.lit("uttara"))
+    mid = F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id")
+    mentions = c.select(
+        mid,
+        F.concat(F.lit("house 5, road 3, "),
+                 F.element_at(tok_arr, (F.col("c_custkey") % 5).cast("int") + 1),
+                 F.lit(", dhaka")).alias("normalized"),
+    )
+    ev = (
+        c.select(mid, F.lit("road").alias("component"), F.lit("Road 3").alias("value"),
+                 F.lit(0.9).alias("confidence"), F.lit("regex").alias("source"))
+        .unionByName(c.select(mid, F.lit("district").alias("component"),
+                              F.lit("Dhaka").alias("value"),
+                              F.lit(0.9).alias("confidence"),
+                              F.lit("regex").alias("source")))
+        .unionByName(c.filter(F.col("c_custkey") % 5 == 3)
+                     .select(mid, F.lit("area").alias("component"),
+                             F.lit("Banani").alias("value"),
+                             F.lit(0.9).alias("confidence"),
+                             F.lit("regex").alias("source")))
+    )
+    return position_area_evidence(mentions, ev)
+
+
 def q_j6_full_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: postal → (upazila, district, division, union list) broadcast
     lookup."""
@@ -467,6 +501,29 @@ def q_a1_resolve_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("confidence", 6).alias("confidence"),
         "source", "conflict",
         F.col("evidence_count").cast("bigint").alias("evidence_count"),
+    )
+
+
+def q_a2_overall_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: overall confidence = mean of resolved component confidences
+    (reference extractor.py:353-364) — exercises resolved_wide over the
+    same synthetic evidence as a1."""
+    from ai_bangladesh_address_parser_spark.operators.resolve import (
+        resolve_evidence,
+        resolved_wide,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    ev = li.select(
+        F.col("l_orderkey").cast("string").alias("mention_id"),
+        F.when(F.col("l_linenumber") % 2 == 0, "house_number").otherwise("road").alias("component"),
+        F.col("l_returnflag").alias("value"),
+        F.lit(0.5).alias("confidence"),
+        F.lit("regex").alias("source"),
+    )
+    wide = resolved_wide(resolve_evidence(ev))
+    return wide.select(
+        "mention_id", F.round("overall_confidence", 6).alias("overall_confidence")
     )
 
 
@@ -755,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_jaro_winkler": q_p5_jaro_winkler,
         "j3_consistency": q_j3_consistency,
         "j4_predict_postal": q_j4_predict_postal,
+        "j2_position_area": q_j2_position_area,
         "j5_geo_proactive": q_j5_geo_proactive,
         "j6_full_hierarchy": q_j6_full_hierarchy,
         "j8_enrich": q_j8_enrich,
@@ -762,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_connected_components": q_p4_connected_components,
         "p6_entity_profiles": q_p6_entity_profiles,
         "a1_resolve_conflict": q_a1_resolve_conflict,
+        "a2_overall_confidence": q_a2_overall_confidence,
         "a3_batch_stats": q_a3_batch_stats,
         "a4_confidence_histogram": q_a4_confidence_histogram,
         "a5_gazetteer_build": q_a5_gazetteer_build,
@@ -1022,6 +1081,39 @@ def oracle_sql() -> dict[str, str]:
                    confidence as prediction_confidence, source as prediction_source
             from r where rn = 1
         """,
+        "j2_position_area": f"""
+            with m as (
+              select lpad(cast(c_custkey as varchar),6,'0') as mention_id,
+                     'house 5, road 3, ' ||
+                     (case c_custkey % 5 when 0 then 'gulshan' when 1 then 'gulshen'
+                        when 2 then 'zzznope' when 3 then 'banani' else 'uttara' end) ||
+                     ', dhaka' as lt,
+                     c_custkey % 5 as g
+              from customer),
+            elig as (select * from m where g != 3),
+            pos as (select mention_id, lt, strpos(lt, 'road 3') as rp,
+                           strpos(lt, 'dhaka') as dp from elig),
+            bt as (select mention_id, substr(lt, rp + 6, dp - rp - 6) as btxt
+                   from pos where rp > 0 and dp > rp),
+            wrds as (select mention_id, trim(t.w) as w
+                     from bt, unnest(string_split(
+                         regexp_replace(btxt, '[^\\w\\s]', ' ', 'g'), ' ')) as t(w)
+                     where length(trim(t.w)) > 2),
+            ar as (select lower(area) as area_lc, area from {{areas_values}}),
+            ex as (select mention_id, area, cast(0.90 as double) as confidence,
+                          'gazetteer_position_exact' as source
+                   from wrds join ar on wrds.w = ar.area_lc),
+            fz as (select mention_id, area, cast(0.80 as double) as confidence,
+                          'gazetteer_position_fuzzy' as source
+                   from wrds join ar on substr(wrds.w,1,4) = substr(ar.area_lc,1,4)
+                   where wrds.w != ar.area_lc and jaccard(wrds.w, ar.area_lc) >= 0.7),
+            u as (select * from ex union all select * from fz),
+            r as (select *, row_number() over (partition by mention_id
+                      order by confidence desc, area asc, source asc) as rn from u)
+            select mention_id, 'area' as component, area as value,
+                   confidence, source
+            from r where rn = 1
+        """.format(areas_values=_values_sql(gz.AREAS, ["area", "district", "postal_code"])),
         "j5_geo_proactive": f"""
             with m as (
               select lpad(cast(c_custkey as varchar),6,'0') as mention_id,
@@ -1260,6 +1352,37 @@ def oracle_sql() -> dict[str, str]:
                    n_values > 1 as conflict,
                    cast(total_ev as bigint) as evidence_count
             from win where rn = 1
+        """,
+        "a2_overall_confidence": """
+            with ev as (
+              select cast(l_orderkey as varchar) as mention_id,
+                     case when l_linenumber % 2 = 0 then 'house_number' else 'road' end as component,
+                     l_returnflag as value, cast(0.5 as double) as confidence,
+                     'regex' as source
+              from lineitem),
+            per_value as (
+              select mention_id, component, value,
+                     sum(confidence * 1.0) as vote,
+                     max(confidence) as best_conf,
+                     count(*) as n_ev,
+                     sum(confidence) as sum_conf
+              from ev group by mention_id, component, value),
+            win as (
+              select *,
+                     row_number() over (partition by mention_id, component
+                                        order by vote desc, value asc) as rn,
+                     count(*) over (partition by mention_id, component) as n_values,
+                     sum(n_ev) over (partition by mention_id, component) as total_ev,
+                     sum(sum_conf) over (partition by mention_id, component) as total_conf
+              from per_value),
+            resolved as (
+              select mention_id,
+                     cast(case when n_values = 1
+                          then least(total_conf / total_ev * 1.05, 0.99)
+                          else best_conf * 0.90 end as double) as confidence
+              from win where rn = 1)
+            select mention_id, round(avg(confidence), 6) as overall_confidence
+            from resolved group by mention_id
         """,
         "a3_batch_stats": """
             select lang, source, count(*) as n, round(avg(n_chars), 6) as avg_chars

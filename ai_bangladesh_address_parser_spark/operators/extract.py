@@ -22,7 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..data import gazetteer as gz
@@ -548,6 +548,93 @@ def fuzzy_area_evidence(
     )
 
 
+def position_area_evidence(
+    mentions: DataFrame,
+    evidence: DataFrame,
+    id_col: str = "mention_id",
+    text_col: str = "normalized",
+) -> DataFrame:
+    """J2 strategy 1 — position-based area back-extraction
+    (gazetteer.py:191-243): for a mention with NO area evidence but
+    both road and district evidence, the words located BETWEEN the
+    road value's occurrence and the district value's occurrence are
+    matched against the gazetteer — exact hit 0.90
+    'gazetteer_position_exact', fuzzy (4-char-prefix + charset-Jaccard
+    ≥ 0.7) hit 0.80 'gazetteer_position_fuzzy'; best hit per mention.
+
+    Spark shape: evidence self-aggregation picks the first road and
+    district value per mention (pinned order: confidence desc, value
+    asc — the reference reads Python list head), substring arithmetic
+    slices the between-text, token explode → broadcast joins against
+    the area dim, window argmax. All expressions and broadcast hash
+    joins — no UDF, one mention-keyed shuffle."""
+    spark = mentions.sparkSession
+
+    ev = evidence.filter(F.col("component").isin("area", "road", "district"))
+
+    def first_val(comp: str, name: str) -> DataFrame:
+        return (
+            ev.filter(F.col("component") == comp)
+            .groupBy("mention_id")
+            .agg(F.min_by(
+                F.lower("value"),
+                F.struct((-F.col("confidence")).alias("nc"), F.lower("value").alias("nv")),
+            ).alias(name))
+        )
+
+    has_area = ev.filter(F.col("component") == "area").select("mention_id").distinct()
+    rd = first_val("road", "road_v")
+    dt = first_val("district", "dist_v")
+    m = (
+        mentions.select(F.col(id_col).alias("mention_id"), F.lower(text_col).alias("lt"))
+        .join(has_area, "mention_id", "left_anti")
+        .join(rd, "mention_id").join(dt, "mention_id")
+    )
+    rp = F.instr(F.col("lt"), F.col("road_v"))
+    dp = F.instr(F.col("lt"), F.col("dist_v"))
+    start = rp + F.length("road_v")
+    # road occupies [rp, rp+len-1] (1-based); between-text runs from the
+    # char after the road value up to the char before the district
+    between = F.when((rp > 0) & (dp > rp), F.col("lt").substr(start, dp - start))
+    toks = (
+        m.select(
+            "mention_id",
+            F.explode(F.split(F.regexp_replace(between, r"[^\w\s]", " "), r"\s+")).alias("w"),
+        )
+        .select("mention_id", F.trim("w").alias("w"))
+        .filter(F.length("w") > 2)
+    )
+
+    areas = gz.areas_df(spark).select(F.lower("area").alias("area_lc"), "area")
+    exact = (
+        toks.join(F.broadcast(areas), toks.w == areas.area_lc)
+        .select("mention_id", "area", F.lit(0.90).alias("confidence"),
+                F.lit("gazetteer_position_exact").alias("source"))
+    )
+    fz = areas.withColumn("pfx", F.substring("area_lc", 1, 4))
+    chars = lambda c: F.array_distinct(F.filter(F.split(c, ""), lambda x: x != ""))  # noqa: E731
+    jac = F.size(F.array_intersect(chars(F.col("w")), chars(F.col("area_lc")))) / \
+        F.size(F.array_union(chars(F.col("w")), chars(F.col("area_lc")))).cast("double")
+    fuzzy = (
+        toks.withColumn("pfx", F.substring("w", 1, 4))
+        .join(F.broadcast(fz), "pfx")
+        .filter((F.col("w") != F.col("area_lc")) & (jac >= 0.7))
+        .select("mention_id", "area", F.lit(0.80).alias("confidence"),
+                F.lit("gazetteer_position_fuzzy").alias("source"))
+    )
+    w = Window.partitionBy("mention_id").orderBy(
+        F.col("confidence").desc(), F.col("area").asc(), F.col("source").asc())
+    return (
+        exact.unionByName(fuzzy)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "mention_id", F.lit("area").alias("component"),
+            F.col("area").alias("value"), "confidence", "source",
+        )
+    )
+
+
 def predict_postal(wide: DataFrame, id_col: str = "mention_id") -> DataFrame:
     """J4: the full 6-priority postal-prediction cascade for rows
     missing a postal code (bangladesh_geo_offline.py:221-338):
@@ -934,7 +1021,9 @@ def extract_evidence(
     first_pass = base
     if "gazetteer" in stages:
         first_pass = first_pass.unionByName(
-            fuzzy_area_evidence(mentions, base, id_col, text_col))
+            fuzzy_area_evidence(mentions, base, id_col, text_col)
+        ).unionByName(
+            position_area_evidence(mentions, base, id_col, text_col))
     if materialize:
         first_pass = first_pass.localCheckpoint(eager=False)
     out = first_pass
