@@ -100,9 +100,18 @@ def resolved_wide(resolved: DataFrame, components: list[str] | None = None) -> D
         .pivot("component", components)
         .agg(F.first("value"))
     )
+    # overall confidence is the mean over *address components* only
+    # (reference extractor.py:353-364); `_error` isolation rows
+    # (house_road._rows_for_text, D4 semantics) ride along as a
+    # separate `error` column instead of depressing the mean.
     conf = (
         resolved.groupBy("mention_id")
-        .agg(F.avg("confidence").alias("overall_confidence"))
+        .agg(
+            F.avg(F.when(F.col("component") != "_error", F.col("confidence")))
+            .alias("overall_confidence"),
+            F.max(F.when(F.col("component") == "_error", F.col("value")))
+            .alias("error"),
+        )
     )
     out = wide.join(conf, "mention_id", "left")
     for c in components:

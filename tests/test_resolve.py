@@ -103,3 +103,23 @@ def test_resolved_wide_shape(spark):
     assert wide["postal_code"] == "1216"
     assert wide["area"] == ""
     assert wide["overall_confidence"] > 0.9
+    assert wide["error"] is None
+
+
+def test_resolved_wide_error_isolation(spark):
+    """D4 semantics: an `_error` isolation row (emitted per-row by the
+    extraction battery instead of failing the task) surfaces as the
+    `error` column and is excluded from overall_confidence."""
+    ev = [
+        ("district", "Dhaka", 0.9, "regex"),
+        ("_error", "ValueError: boom", 0.0, "regex"),
+    ]
+    df = spark.createDataFrame(
+        [("m1", c, v, conf, s) for (c, v, conf, s) in ev],
+        "mention_id string, component string, value string, confidence double, source string",
+    )
+    wide = resolved_wide(resolve_evidence(df)).collect()[0]
+    assert wide["error"] == "ValueError: boom"
+    # mean over address components only — the 0.0 _error row must not
+    # depress it (district alone: 0.9 * 1.05 consensus bonus)
+    assert wide["overall_confidence"] > 0.9
