@@ -75,7 +75,7 @@ _ROAD_TIERS = [
     ("keyword_no", re.compile(
         r"(?i)\b(line\s*(?:no\.?|number|#|:)?\s*[-–]?\s*\d+[A-Za-z]?)\b"), 0.95),
     # "6 No. Road" / "6 Road" — number BEFORE the keyword
-    ("keyword_no", re.compile(
+    ("num_first", re.compile(
         r"(?i)\b(\d+[A-Za-z]?)\s*(?:no\.?\s*)?(?:road|goli|lane|avenue)\b"), 0.88),
     ("named", re.compile(
         r"(?i)(?<![\w-])((?:[A-Za-zঀ-৿][\wঀ-৿.''&-]*\s+){1,5}?"
@@ -185,6 +185,11 @@ def _house_candidates(text: str) -> list[Cand]:
             v = re.sub(r"(?i)^h[-/ ]+(?=\d)", "", v)
             if method == "letter_no":
                 v = m.group(1).upper() + m.group(2)      # "U No 19" → U19
+                # span covers letter THROUGH digits: with end at the
+                # letter, _is_road_goli reads the candidate's own
+                # "No 19" as a '2 No. Road' ward context and rejects it
+                out.append(Cand(v, conf, method, m.start(1), m.end(2)))
+                continue
             elif method == "positional" and m.start(1) == 0:
                 # a leading single letter + dash is a block prefix, not
                 # part of the house number ("B-33/1" → house 33/1)
@@ -289,7 +294,12 @@ def extract_road(text: str, house_value: str | None) -> tuple[str, float] | None
     kept = [
         c for c in cands
         if not re.fullmatch(r"\d{4}", c.value)            # postal-like
-        and (house_value is None or c.value != house_value)  # cross-extractor
+        # cross-extractor: the house value vetoes a road candidate only
+        # when the candidate is NOT led by an explicit road keyword —
+        # the reference's span-based check keeps "Road-1" even when the
+        # house is also "1" ("Road-1, House-1")
+        and (house_value is None or c.value != house_value
+             or c.method == "keyword_no")
         and not re.search(r"(?:sector|block|flat|floor|house)\s*(?:no\.?|#|:)?\s*[-–]?\s*$",
                           text[:c.start].lower()[-15:])
     ]
@@ -297,9 +307,13 @@ def extract_road(text: str, house_value: str | None) -> tuple[str, float] | None
         return None
     # within a priority class the LAST occurrence wins — matches the
     # reference's labeled behavior ("Road 12, Avenue 6" → 6;
-    # "Garden Street, Ring Road" → Ring)
-    prio = {"keyword_no": 3, "feet": 2, "named": 1, "compact": 1}
-    best = max(kept, key=lambda c: (prio[c.method], c.start, c.value))
+    # "Garden Street, Ring Road" → Ring). A keyword-led candidate whose
+    # value ties the house number survives the veto but only as a last
+    # resort ("Road-1, House-1" → road 1, yet "22 No Road …, Road 1,
+    # House 1" → road 22).
+    prio = {"keyword_no": 3, "num_first": 3, "feet": 2, "named": 1, "compact": 1}
+    best = max(kept, key=lambda c: (c.value != house_value,
+                                    prio[c.method], c.start, c.value))
     return best.value, best.conf
 
 
