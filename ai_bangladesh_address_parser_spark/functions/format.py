@@ -72,19 +72,29 @@ def validate_cols(required: list[str] | None = None) -> dict[str, Column]:
 
 
 def suggest(
-    names: DataFrame, query: str, k: int = 10, name_col: str = "name"
+    names: DataFrame, query: str, k: int = 10, name_col: str = "name",
+    method: str = "levenshtein",
 ) -> DataFrame:
-    """J7 autocomplete: substring filter → similarity order → limit k.
-    Similarity is JVM levenshtein-based (the reference uses
-    SequenceMatcher; ranking agreement is what matters for suggest)."""
+    """J7 autocomplete: substring filter → similarity order → limit k
+    (reference address_utils.py:209-259). ``method='levenshtein'`` is
+    the default JVM-side ranking (oracle-comparable in DuckDB);
+    ``method='difflib'`` scores with the reference's exact
+    ``SequenceMatcher.ratio`` via the Arrow-batched parity UDF — the
+    filter already shrinks the input to a handful of rows, so the
+    Python scorer is off the hot path either way."""
     q = query.strip().lower()
     c = F.lower(F.col(name_col))
+    cand = names.filter(c.contains(q))
+    if method == "difflib":
+        from ..operators.scoring import _difflib_ratio
+
+        sim = F.round(_difflib_ratio(c, F.lit(q)), 6)
+    else:
+        sim = F.round(
+            1.0 - F.levenshtein(c, F.lit(q))
+            / F.greatest(F.length(c), F.lit(len(q))).cast("double"), 6)
     return (
-        names.filter(c.contains(q))
-        .withColumn(
-            "similarity",
-            F.round(1.0 - F.levenshtein(c, F.lit(q)) / F.greatest(F.length(c), F.lit(len(q))).cast("double"), 6),
-        )
+        cand.withColumn("similarity", sim)
         .orderBy(F.col("similarity").desc(), F.col(name_col))
         .limit(k)
     )

@@ -157,3 +157,21 @@ def test_ner_evidence_stage(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         ner_evidence(df, model="spacy")  # spaCy absent → fails on driver
+
+
+def test_suggest_difflib_parity(spark):
+    """J7 suggest with method='difflib' ranks by the reference's exact
+    SequenceMatcher.ratio (address_utils.py:209-259)."""
+    from difflib import SequenceMatcher
+
+    from ai_bangladesh_address_parser_spark.functions.format import suggest
+
+    names = spark.createDataFrame(
+        [("Dhanmondi",), ("Dhanmondi 32",), ("Mohammadpur",), ("Dhamrai",)],
+        ["name"],
+    )
+    got = suggest(names, "dhan", k=5, method="difflib").collect()
+    assert [r["name"] for r in got] == ["Dhanmondi", "Dhanmondi 32"]
+    for r in got:
+        want = SequenceMatcher(None, r["name"].lower(), "dhan").ratio()
+        assert abs(r["similarity"] - want) < 1e-6
