@@ -688,6 +688,44 @@ def q_x6_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t10_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 spaCy-NER stage plumbing (mapInPandas, per-partition model
+    residency) with the deterministic heuristic backend — the
+    model-free path that runs in this container. No oracle SQL: the
+    Python NER
+    model is not SQL-expressible; the driver records the rows-only
+    check and pytest covers the evidence values."""
+    c = _t(spark, sf_dir, "customer")
+    mentions = c.select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id"),
+        F.concat(
+            F.lit("House "), (F.col("c_custkey") % 90 + 1).cast("string"),
+            F.lit(" Road "), (F.col("c_custkey") % 12 + 1).cast("string"),
+            F.lit(" Dhaka 1216"),
+        ).alias("normalized"),
+    )
+    from ai_bangladesh_address_parser_spark.operators.ner import ner_evidence
+
+    return ner_evidence(mentions)
+
+
+def q_x7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane-bucket
+    self-join. The oracle replicates the bucketing and the cosine
+    threshold exactly, so the approximate (bucketed) pair set is
+    checked value-for-value. Threshold 0.40 fits the synthetic
+    embeddings' cosine range (max ~0.51; nearest pair sits 1.3e-4
+    from the boundary — far beyond any FP divergence)."""
+    from ai_bangladesh_address_parser_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.40, n_planes=6, dim=64).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload + typed meta →
     mapInPandas feature extraction (fake decoder). The oracle checks
@@ -832,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_simhash": q_d4_simhash,
         "x1_ann_topk": q_x1_ann_topk,
         "x6_ann_lsh": q_x6_ann_lsh,
+        "x7_embedding_neardup": q_x7_embedding_neardup,
+        "t10_ner": q_t10_ner,
         "m1_media_features": q_m1_media_features,
         "m2_frame_sample": q_m2_frame_sample,
         "s9_stream_extract": q_s9_stream_extract,
@@ -1549,6 +1589,27 @@ def oracle_sql() -> dict[str, str]:
                                             order by cosine desc, neighbor_id) as rank
                   from scored)
             select query_id, neighbor_id, rank from r where rank <= 3
+        """.format(signs_values=signs_values),
+        "x7_embedding_neardup": f"""
+            with signs as (select * from {{signs_values}}),
+            ex as (select vec_id, g.i as i, cast(embedding[g.i] as double) as x
+                   from embeddings
+                   cross join unnest(generate_series(1, len(embedding))) as g(i)),
+            dots as (select e.vec_id, s.p, sum(e.x * s.s) as dot
+                     from ex e join signs s on e.i = s.i
+                     group by e.vec_id, s.p),
+            buckets as (select vec_id,
+                               cast(sum(case when dot > 0 then (1::bigint << p)
+                                        else 0 end) as bigint) as bucket
+                        from dots group by vec_id),
+            d as (select b.vec_id as id, b.bucket, e.embedding as v
+                  from buckets b join embeddings e on b.vec_id = e.vec_id),
+            pairs as (select a.id as id_a, b.id as id_b,
+                             list_cosine_similarity(cast(a.v as double[]),
+                                                    cast(b.v as double[])) as cosine
+                      from d a join d b on a.bucket = b.bucket and a.id < b.id)
+            select distinct id_a, id_b, round(cosine, 6) as cosine
+            from pairs where cosine >= 0.40
         """.format(signs_values=signs_values),
         "m1_media_features": """
             select cast(doc_id as varchar) as media_id,
