@@ -134,13 +134,27 @@ def _positional_postal(text: Column, source: str, conf: float) -> Column:
     1212 inside 12123 and mis-positions it). ``regexp_instr`` returns
     the regex match start — same pattern, same occurrence.
     """
+    # T8 phone guard (postal_code_processor.py:274-472 _is_phone_number
+    # semantics): phone numbers — a phone keyword introducing a digit
+    # run, or a long (≥10-char) digit run across dash/slash/space —
+    # are removed BEFORE the positional match, so a phone fragment
+    # neither becomes a postal ("call 0171 2345 678") nor shadows a
+    # later legit one ("phone 01712-3456, … dhaka 1230" → 1230).
+    # Commas break digit runs, so "Dhaka - 1216, 4th floor" survives.
+    cleaned = F.regexp_replace(
+        F.regexp_replace(
+            text,
+            r"(?i)\b(?:phone|tel|telephone|mobile|mob|cell|fax|call|hotline|"
+            r"ফোন|মোবাইল)\s*(?:no|number)?\s*[:.\-]?\s*\+?\d[\d\s\-/]{3,}",
+            " "),
+        r"\+?\d[\d\s\-/]{8,}\d", " ")
     pat = r"(?U)\b(\d{4})\b"
-    val = F.regexp_extract(text, pat, 1)
+    val = F.regexp_extract(cleaned, pat, 1)
     # 1-based match start + 4 digits - 1 = Python match.end()
-    pos_end = F.regexp_instr(text, F.lit(pat)) + F.lit(3)
+    pos_end = F.regexp_instr(cleaned, F.lit(pat)) + F.lit(3)
     # try_cast: "" → null (a plain cast throws under ANSI mode, the
     # Spark 4 default — boolean AND does not short-circuit in codegen)
-    ok = (val != "") & (pos_end > F.length(text) * 0.5) & (val.try_cast("int") >= 1000)
+    ok = (val != "") & (pos_end > F.length(cleaned) * 0.5) & (val.try_cast("int") >= 1000)
     return F.when(
         ok,
         F.struct(

@@ -175,3 +175,26 @@ def test_suggest_difflib_parity(spark):
     for r in got:
         want = SequenceMatcher(None, r["name"].lower(), "dhan").ratio()
         assert abs(r["similarity"] - want) < 1e-6
+
+
+def test_positional_postal_phone_guard(spark):
+    """T8 phone guard: phone digit runs are neither extracted as postal
+    codes nor allowed to shadow a later legitimate one
+    (postal_code_processor.py:274-472 _is_phone_number semantics)."""
+    from ai_bangladesh_address_parser_spark.operators.extract import regex_evidence
+
+    rows = [
+        ("p1", "shop 3, mirpur, call 0171 2345 678"),
+        ("p2", "house 4, gulshan, mobile: 1712"),
+        ("p3", "road 2, banani, dhaka - 1216"),
+        ("p5", "flat 2, phone 01712-3456, uttara dhaka 1230"),
+    ]
+    df = spark.createDataFrame(rows, ["mention_id", "normalized"])
+    ev = regex_evidence(df).filter("component = 'postal_code'").collect()
+    got = {}
+    for r in ev:
+        got.setdefault(r.mention_id, set()).add(r.value)
+    assert "p1" not in got
+    assert "p2" not in got
+    assert got["p3"] == {"1216"}
+    assert got["p5"] == {"1230"}
