@@ -237,7 +237,7 @@ def _token_candidates(mentions: DataFrame, id_col: str, text_col: str) -> DataFr
         "mention_id", "part_idx", "n_parts", clean.alias("part_clean"), toks.alias("toks")
     )
     unigrams = df.select(
-        "mention_id", "part_idx", "n_parts",
+        "mention_id", "part_idx", "n_parts", "part_clean",
         F.explode(F.array_distinct(F.concat(
             F.array(F.col("part_clean")),
             F.col("toks"),
@@ -289,13 +289,27 @@ def vocab_evidence(mentions: DataFrame, id_col: str = "mention_id", text_col: st
         .agg(F.collect_set("part_idx").alias("dpi"))
     )
     # middle-of-address position is the classic area slot → small bonus
+    # residential-suffix extension (area_processor.py locality suffixes;
+    # labeled corpus keeps the full phrase): a vocab area whose
+    # comma-part continues with a residential suffix — "Nasirabad
+    # Housing Society", "Shapla Residential Area" — emits the full part
+    # as the value
+    ext = F.trim(F.substring(
+        F.col("part_clean"), F.length(F.col("key")) + 1, 64))
+    area_val = F.when(
+        F.col("part_clean").startswith(F.col("key"))
+        & ext.isin("housing society", "housing estate", "residential area",
+                    "r/a", "model town"),
+        F.initcap(F.col("part_clean")),
+    ).otherwise(F.col("area"))
     area_ev = (
         ahits.join(dist_parts, "mention_id", "left")
         .withColumn(
             "before_city",
             F.coalesce(F.array_contains(F.col("dpi"), F.col("part_idx") + 1), F.lit(False)),
         )
-        .groupBy("mention_id", "area")
+        .withColumn("area_val", area_val)
+        .groupBy("mention_id", "area_val")
         .agg(
             F.max((F.col("part_idx") > 0) & (F.col("part_idx") < F.col("n_parts") - 1)).alias("mid"),
             F.max("before_city").alias("bc"),
@@ -303,7 +317,7 @@ def vocab_evidence(mentions: DataFrame, id_col: str = "mention_id", text_col: st
         .select(
             "mention_id",
             F.lit("area").alias("component"),
-            F.col("area").alias("value"),
+            F.col("area_val").alias("value"),
             F.when(F.col("bc"), 0.92)
              .when(F.col("mid"), 0.88).otherwise(0.85).alias("confidence"),
             F.lit("regex").alias("source"),

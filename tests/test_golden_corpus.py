@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 THRESHOLDS = {
-    "house_number": 0.94, "road": 0.93, "area": 0.92,
+    "house_number": 0.94, "road": 0.93, "area": 0.93,
     "district": 0.99, "division": 0.99, "postal_code": 0.99,
     "flat_number": 0.95, "floor_number": 0.99, "block_number": 0.95,
 }
