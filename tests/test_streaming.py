@@ -60,3 +60,43 @@ def test_incremental_extract_resume(spark, tmp_path):
     assert back.count() == 100
     # exactly-once per page across the restart
     assert back.select("mention_id").distinct().count() == 100
+
+
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: a key first seen in
+    batch 1 is NOT re-emitted when batch 2 repeats it; new keys in
+    batch 2 are."""
+    from ai_bangladesh_address_parser_spark.streaming.stateful_dedup import (
+        stateful_first_seen,
+    )
+
+    src = str(tmp_path / "m")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [("k1", "house 5 dhaka"), ("k2", "road 3 gulshan"), ("k1", "house 5 dhaka")],
+        "norm_key string, normalized string",
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    b2 = spark.createDataFrame(
+        [("k1", "house 5 dhaka"), ("k3", "banani 1213")],
+        "norm_key string, normalized string",
+    )
+    b2.coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+
+    stream = spark.readStream.schema("norm_key string, normalized string") \
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    out = stateful_first_seen(stream)
+    q = (
+        out.writeStream.format("memory").queryName("first_seen")
+        .outputMode("update").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["norm_key"]: r for r in spark.sql("select * from first_seen").collect()}
+    # k1 emitted exactly once (despite 3 occurrences across 2 batches),
+    # k2 and k3 once each
+    assert set(rows) == {"k1", "k2", "k3"}
+    assert all(r["is_first"] for r in rows.values())
+    n_k1 = spark.sql("select count(*) n from first_seen where norm_key='k1'").first()["n"]
+    assert n_k1 == 1
