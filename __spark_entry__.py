@@ -790,6 +790,42 @@ def q_s9_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s10_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cross-micro-batch first-seen dedup keyed by norm_key. Not
+    SQL-expressible (streaming state store) — rows-only check; the
+    cross-batch suppression property is pytest-verified
+    (tests/test_streaming.py::test_stateful_first_seen_dedup)."""
+    import tempfile
+
+    from ai_bangladesh_address_parser_spark.streaming.stateful_dedup import (
+        stateful_first_seen,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="abap_state_q_")
+    c = _t(spark, sf_dir, "customer").limit(200)
+    m = c.select(
+        F.concat(F.lit("k"), (F.col("c_custkey") % 40).cast("string")).alias("norm_key"),
+        F.concat(F.lit("house "), (F.col("c_custkey") % 40).cast("string"),
+                 F.lit(", dhaka")).alias("normalized"),
+    )
+    m.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/src/b1")
+    s = spark.readStream.schema("norm_key string, normalized string").parquet(f"{tmp}/src/*")
+    q = (
+        stateful_first_seen(s).writeStream.format("memory")
+        .queryName("s10_first_seen").outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ck").start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return spark.sql(
+        "select norm_key, normalized, is_first from s10_first_seen"
+    ).orderBy("norm_key")
+
+
 def q_x2_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_bangladesh_address_parser_spark.operators.text_analysis import langid_cols
 
@@ -875,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_media_features": q_m1_media_features,
         "m2_frame_sample": q_m2_frame_sample,
         "s9_stream_extract": q_s9_stream_extract,
+        "s10_stateful_dedup": q_s10_stateful_dedup,
         "x2_langid": q_x2_langid,
         "x3_quality": q_x3_quality,
         "x4_token_count": q_x4_token_count,
