@@ -79,16 +79,33 @@ _REGEX_TIERS: list[tuple[str, str, int, float]] = [
     ("postal_code", r"(?iU)(?:post\s*code|postal\s*code|p\.?\s?o\.?|zip|pin)\s*[:\-]?\s*(\d{4})\b", 1, 0.98),
     ("postal_code", r"(?iU)\b[A-Za-z]+\s?-\s?(\d{4})\b", 1, 0.95),
     # flat / floor / block. Flat values may be two tokens ("BC 103",
-    # "3 সি") or letter-dash-digit ("C-9") — flat_number_processor.py
-    # tier shapes incl. the (A)(5)→A5 concat family
-    ("flat_number", r"(?iU)\b(?:flat|apt|apartment|suite|unit)\s*(?:no|number)?\s*[.\-]?\s*((?:[A-Za-zঀ-৿]{1,2}[ \-]?)?\d+(?:[ \-]?[A-Za-zঀ-৿]{1,2})?)(?=[\s,.)]|$)", 1, 0.90),
+    # "3 সি"), letter-dash-digit ("C-9"), slash-joined ("8/A", "A/6" —
+    # the labeled corpus's dominant flat shape), digit-dash-digit
+    # ("07-01"), or parenthesized-letter ("8(C)") —
+    # flat_number_processor.py tier shapes incl. the (A)(5)→A5 concat
+    # family. The keyword may repeat ("Flat No # 1/A" normalizes to
+    # "Flat No No 1/A") and may stay Bangla (নম্বর is not in the
+    # normalizer's keyword table).
+    ("flat_number", r"(?iU)\b(?:flat|apt|apartment|suite|unit)(?:\s*(?:no|number|নম্বর))*\s*[.\-–]?\s*([A-Za-zঀ-৿]{1,2}\s*[-/]\s*\d+|(?:[A-Za-zঀ-৿]{1,2}[ \-/]?)?\d+(?:\s*\(\s*[A-Za-zঀ-৿]{1,2}\s*\)|[ \-/]?[A-Za-zঀ-৿]{1,2}|[\-/]\d+)?)(?=[\s,.)]|$)", 1, 0.90),
+    # bare letter flat ("Flat -D")
+    ("flat_number", r"(?iU)\b(?:flat|apt)\s*[-–]\s*([A-Za-zঀ-৿])(?![\w/-])", 1, 0.78),
     ("flat_number", r"(?iU)\(\s*([A-Za-z]\d+)\s*\)", 1, 0.80),
     ("flat_number", r"(?iU)floor,?\s+(\d+[A-Za-z])\b", 1, 0.80),
-    ("floor_number", r"(?iU)\b(\d+(?:st|nd|rd|th)?[A-Za-z]?)\s*(?:floor|fl)\b", 1, 0.88),
-    ("floor_number", r"(?iU)\b(?:floor|level|lift)\s*[.\-]?\s*([A-Za-z0-9]+)\b", 1, 0.85),
-    # block codes are short (A, B2, 11, ক) — an arbitrary following word
-    # ("Block Basundhara") is a locality, not a code
-    ("block_number", r"(?iU)\b(?:block|blk|sector)\s*(?:no|number)?\s*[.\-]?\s*([A-Za-z]{1,2}\d*|\d+[A-Za-z]?|[ঀ-৿]+)\b(?![\w-])", 1, 0.90),
+    # "F-5/A" compact form (case-sensitive F; keeps the F — labels do)
+    ("flat_number", r"(?U)\b(F-\d+(?:/[A-Za-z0-9]{1,2})?)\b", 1, 0.75),
+    # lift number outranks the floor ordinal when both appear — the
+    # labeled corpus keys the floor to the lift ("7th Floor (Lift-6)"
+    # → floor 6), floor_number_processor lift tier
+    ("floor_number", r"(?iU)\blift\s*(?:no|number|নম্বর)?\s*[.\-–]?\s*(\d+)\b", 1, 0.89),
+    # Bangla ordinal suffixes (৫ম/৩য়) survive normalization glued to
+    # the digits ("5ম Floor") — consume them outside the capture
+    ("floor_number", r"(?iU)\b(\d+(?:st|nd|rd|th)?[A-Za-z]?)[ঀ-৿]{0,3}\s*(?:floor|fl)\b", 1, 0.88),
+    ("floor_number", r"(?iU)\b(?:floor|level|lift)\s*(?:no|number|নম্বর)?\s*[.\-–]?\s*([A-Za-z0-9]+)\b", 1, 0.85),
+    # block codes are short (A, B2, 11, ক, Banglish letter names Kha/
+    # Gha) — an arbitrary following word ("Block Basundhara") is a
+    # locality, not a code. সেক্টর is not in the normalizer's keyword
+    # table so it stays Bangla.
+    ("block_number", r"(?iU)\b(?:block|blk|sector|সেক্টর)\s*(?:no|number|নম্বর)?\s*[.\-–]?\s*((?:kha|gha|chha|cha|tha|jha|ka|ga|ja|da|pa|ba|ma|ra|la|sha|sa|ha)(?![\w-])|[A-Za-z]{1,2}\d*|\d+[A-Za-z]?|[ঀ-৿]+)(?![\w-])", 1, 0.90),
     ("block_number", r"(?iU)\b(\d+|[A-Za-zঀ-৿])\s*(?:block|blk)\b", 1, 0.88),
 ]
 
@@ -236,11 +253,19 @@ def _token_candidates(mentions: DataFrame, id_col: str, text_col: str) -> DataFr
     df = df.select(
         "mention_id", "part_idx", "n_parts", clean.alias("part_clean"), toks.alias("toks")
     )
+    # dash-joined compounds ("District-Tangail", "Natore-Sadar") also
+    # contribute their dash-split words as lookup keys — the vocabulary
+    # stores space/bare forms
+    dtoks = F.when(
+        F.col("part_clean").contains("-"),
+        F.split(F.replace(F.col("part_clean"), F.lit("-"), F.lit(" ")), r"(?U)\s+"),
+    ).otherwise(F.array())
     unigrams = df.select(
         "mention_id", "part_idx", "n_parts", "part_clean",
         F.explode(F.array_distinct(F.concat(
             F.array(F.col("part_clean")),
             F.col("toks"),
+            dtoks,
             F.when(F.size("toks") >= 2, F.zip_with(
                 F.slice("toks", 1, F.size("toks") - 1),
                 F.slice("toks", 2, F.size("toks") - 1),
@@ -251,13 +276,21 @@ def _token_candidates(mentions: DataFrame, id_col: str, text_col: str) -> DataFr
     return unigrams
 
 
-def vocab_evidence(mentions: DataFrame, id_col: str = "mention_id", text_col: str = "normalized") -> DataFrame:
+def vocab_evidence(mentions: DataFrame, id_col: str = "mention_id",
+                   text_col: str = "normalized",
+                   area_vocab: DataFrame | None = None) -> DataFrame:
     """District + area evidence via broadcast joins on exploded tokens.
 
     Reference behavior modeled: district comma-part equality vs the
     64-district variant vocabulary, end-of-address → higher confidence
     (district_processor.py:695-1639); area vocabulary hits
     (area_processor.py:93-133); division direct mentions.
+
+    ``area_vocab``: optional extra ``(variant, area)`` rows — typically
+    ``gazetteer_build.area_vocab_from_labeled`` over the batch's labeled
+    corpus, mirroring the reference's build-gazetteer-from-input
+    lifecycle. On a variant collision the labeled vocabulary wins over
+    the static seed (the corpus's own naming is authoritative for it).
     """
     spark = mentions.sparkSession
     toks = _token_candidates(mentions, id_col, text_col)
@@ -277,7 +310,16 @@ def vocab_evidence(mentions: DataFrame, id_col: str = "mention_id", text_col: st
         )
     )
 
-    av = F.broadcast(gz.area_variants_df(spark))
+    av_rows = gz.area_variants_df(spark).withColumn("prio", F.lit(1))
+    if area_vocab is not None:
+        av_rows = (
+            area_vocab.select("variant", "area").withColumn("prio", F.lit(0))
+            .unionByName(av_rows)
+        )
+    av = F.broadcast(
+        av_rows.groupBy("variant")
+        .agg(F.min_by("area", F.struct("prio", "area")).alias("area"))
+    )
     ahits = toks.join(av, toks.key == av.variant, "inner")
     # comma-part index of each district mention: an area hit in the part
     # directly before a city/district name takes the reference's massive
@@ -309,17 +351,36 @@ def vocab_evidence(mentions: DataFrame, id_col: str = "mention_id", text_col: st
             F.coalesce(F.array_contains(F.col("dpi"), F.col("part_idx") + 1), F.lit(False)),
         )
         .withColumn("area_val", area_val)
+        .withColumn(
+            # the LAST comma-part is normally the city/district slot; when
+            # no district matched anywhere in the mention, a vocabulary
+            # area there IS the locality ("Niketon, Gulshan" → Gulshan)
+            # and ranks with the classic middle slot
+            "last_noncity",
+            (F.col("part_idx") == F.col("n_parts") - 1) & F.col("dpi").isNull(),
+        )
         .groupBy("mention_id", "area_val")
         .agg(
-            F.max((F.col("part_idx") > 0) & (F.col("part_idx") < F.col("n_parts") - 1)).alias("mid"),
+            F.max(((F.col("part_idx") > 0) & (F.col("part_idx") < F.col("n_parts") - 1))
+                  | F.col("last_noncity")).alias("mid"),
             F.max("before_city").alias("bc"),
+            F.max("part_idx").alias("pmax"),
         )
         .select(
             "mention_id",
             F.lit("area").alias("component"),
             F.col("area_val").alias("value"),
-            F.when(F.col("bc"), 0.92)
-             .when(F.col("mid"), 0.88).otherwise(0.85).alias("confidence"),
+            # base tier (before-city > middle > other) plus a small
+            # later-position bonus: with several vocabulary areas in one
+            # address, the locality nearest the district/end of the
+            # address is the one the reference's position factors pick
+            # (area_processor.py:784-791 before_city dominates, then
+            # position-in-address). Bonus is capped below the tier gaps
+            # so it only breaks ties within a tier.
+            (F.when(F.col("bc"), 0.92)
+              .when(F.col("mid"), 0.88).otherwise(0.85)
+             + F.least(F.col("pmax"), F.lit(8)) * F.lit(0.003)
+             ).alias("confidence"),
             F.lit("regex").alias("source"),
         )
     )
@@ -1016,6 +1077,7 @@ def extract_evidence(
     text_col: str = "normalized",
     materialize: bool = True,
     gazetteer: DataFrame | None = None,
+    area_vocab: DataFrame | None = None,
     deep: bool = True,
     stages: frozenset[str] | None = None,
 ) -> DataFrame:
@@ -1032,7 +1094,7 @@ def extract_evidence(
     stages = DEFAULT_STAGES if stages is None else frozenset(stages)
     base = regex_evidence(mentions, id_col, text_col, deep=deep,
                           fsm="fsm" in stages).unionByName(
-        vocab_evidence(mentions, id_col, text_col)
+        vocab_evidence(mentions, id_col, text_col, area_vocab=area_vocab)
     )
     if deep:
         from .house_road import house_road_area_evidence

@@ -38,6 +38,33 @@ def _mode(rec: DataFrame, col: str) -> DataFrame:
     )
 
 
+def area_vocab_from_labeled(labeled: DataFrame, area_col: str = "area") -> DataFrame:
+    """Labeled records → ``(variant, area)`` vocabulary rows for
+    ``operators.extract.vocab_evidence``.
+
+    The reference initializes its extractor with a gazetteer built from
+    the batch's own labeled input (production_address_extractor.py:
+    1205-1257), so at inference it recognizes every labeled area
+    verbatim. The Spark analogue: derive the candidate-generation
+    vocabulary from the labeled corpus. Labels pass through the same
+    Stage-2 normalization as mention text so the lookup key matches the
+    tokens it will join against (Bangla-script labels fold to the same
+    Banglish surface, Bangla numerals to ASCII); the emitted value is
+    the most frequent normalized surface form per key.
+    """
+    from ..functions.normalize import normalize_expr
+
+    lab = (
+        labeled.select(normalize_expr(F.trim(F.col(area_col))).alias("label"))
+        .filter((F.col("label") != "") & (F.length("label") >= 3))
+    )
+    cnt = lab.groupBy(F.lower("label").alias("variant"), F.col("label")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    return cnt.groupBy("variant").agg(
+        F.min_by("label", F.struct((-F.col("cnt")).alias("nc"), F.col("label")))
+        .alias("area"))
+
+
 def build_gazetteer(
     labeled: DataFrame,
     area_col: str = "area",

@@ -46,29 +46,38 @@ _BANGLISH_FULL = _BANGLISH + r")"
 _HOUSE_TIERS = [
     # (method, regex, confidence)
     ("explicit", re.compile(
-        r"(?i)\b(?:house|home|hous|building|bldg|plot|holding|basa|basha)\s*"
-        r"(?:name)?\s*(?:no\.?|number|#|:)?\s*[-–]?\s*"
-        r"([A-Za-z]{0,2}[-/]?\d+(?:[/-][A-Za-z0-9]+)*|[A-Za-z]\d+)"), 0.96),
+        r"(?i)\b(?:house|home|hous|building|bldg|plot|holding|basa|basha|bari|হোল্ডিং|প্লট)\s*"
+        r"(?:name)?(?:\s*(?:no\.?|number|#|:|নং)){0,2}\s*[-–]?\s*"
+        r"([A-Za-z]{0,2}[-/]?\d+[A-Za-z]?(?:[/-][A-Za-z0-9]+)*|[A-Za-z]\d+)"), 0.96),
+    # reversed keyword: "78 No House"
+    ("explicit", re.compile(
+        r"(?i)\b(\d+(?:/[A-Za-z0-9]+)*)\s*no\.?\s*(?:house|basa|basha|bari)\b"), 0.88),
     ("banglish", re.compile(
         r"(?i)\b(" + _BANGLISH_FULL + r"\s*[-/]?\s*\d+(?:[/-][A-Za-z0-9]+)*)"), 0.90),
-    ("slash", re.compile(r"(?<![\w/.-])(\d+(?:/[A-Za-z0-9ঀ-৿]+)+)"), 0.92),
-    ("contextual", re.compile(r"(?i)\bh\s*-?\s*(\d+(?:/[A-Za-z0-9]+)*[A-Za-z]?)\b"), 0.90),
+    ("slash", re.compile(
+        r"(?<![\w/.-])(\d+(?:[/-][A-Za-z0-9ঀ-৿]+)+(?:\s[A-Za-z]\b)?)"), 0.92),
+    ("contextual", re.compile(r"(?i)\bh\s*-?\s*(\d+(?:[/-][A-Za-z0-9]+)*[A-Za-z]?)\b"), 0.90),
     ("positional", re.compile(
-        r"^\W{0,3}([A-Za-z]?[-/]?\d+[A-Za-z]?(?:[/-][A-Za-z0-9ঀ-৿]+)*)(?=[\s,])"), 0.85),
+        r"^\W{0,3}([A-Za-z]?[-/]?\d+[A-Za-z]?(?:[/-][A-Za-z0-9ঀ-৿]+)*)(?=[\s,(])"), 0.85),
     # standalone number opening a later comma part, before a capitalized
     # location word — the ':465-468' capitalized-word exception as a tier
     ("positional", re.compile(r",\s*(\d{1,4}[A-Za-z]?)\s+(?=[A-Z])"), 0.82),
+    # number alone in a comma slot right before a capitalized part
+    # ("..., 372, Free School Street")
+    ("positional", re.compile(r",\s*(\d{1,3})\s*(?=,\s*[A-Zঀ-৿])"), 0.80),
     # "218 by 8" — colloquial n-by-m holding number; the first number is
     # the house
     ("by", re.compile(r"(?i)\b(\d{1,4})\s+by\s+\d{1,4}\b"), 0.80),
     # "U No 19" (normalized from "U#19"): unit letter + number concat
-    ("letter_no", re.compile(r"(?i)^\W{0,3}([A-Za-z])\s*no\s*[-.]?\s*(\d{1,4})\b"), 0.85),
+    ("letter_no", re.compile(
+        r"(?i)^\W{0,3}([A-Za-z])\s*no\s*[-.]?\s*(\d{1,4}(?:/[A-Za-z0-9]+)*)\b"), 0.85),
 ]
 
 _ROAD_TIERS = [
     ("keyword_no", re.compile(
-        r"(?i)\b(?:road|rd|lane|ln|avenue|ave|sarani|sarak)\s*"
-        r"(?:no\.?|number|#|:)?\s*[-–]?\s*(\d+(?:/[A-Za-z0-9ঀ-৿]+)*[A-Za-z]?)\b"), 0.95),
+        r"(?i)\b(?:road|rd|lane|ln|avenue|ave|sarani|sarak)"
+        r"(?:\s*(?:no\.?|number|#|:)){0,2}\s*[-–]?\s*"
+        r"([A-Za-z]?\d+(?:st|nd|rd|th)?(?:/[A-Za-z0-9ঀ-৿]+)*[A-Za-z]?)\b"), 0.95),
     # "Line 16" keeps its keyword: the labeled corpus treats Line as part
     # of the road name ("Block #C, Line #16" → road "Line 16"), unlike
     # Road/Lane which are stripped
@@ -76,17 +85,18 @@ _ROAD_TIERS = [
         r"(?i)\b(line\s*(?:no\.?|number|#|:)?\s*[-–]?\s*\d+[A-Za-z]?)\b"), 0.95),
     # "6 No. Road" / "6 Road" — number BEFORE the keyword
     ("num_first", re.compile(
-        r"(?i)\b(\d+[A-Za-z]?)\s*(?:no\.?\s*)?(?:road|goli|lane|avenue)\b"), 0.88),
+        r"(?i)\b(\d+(?:st|nd|rd|th)?[A-Za-z]?)\s*(?:no\.?\s*)?(?:road|goli|lane|avenue)\b"), 0.88),
     ("named", re.compile(
         r"(?i)(?<![\w-])((?:[A-Za-zঀ-৿][\wঀ-৿.''&-]*\s+){1,5}?"
-        r"(?:road|rd|lane|avenue|street|goli|sarani|sarak|রোড|লেন|গলি))(?=[\s,.(]|$)"), 0.85),
+        r"(?:road|rd|lane|avenue|street|goli|sarani|sarak|রোড|লেন|গলি))(?=[\s,.()]|$)"), 0.85),
     # "Yugichad Mosque Line": Line as a road suffix only after
     # capitalized proper-noun words (case-sensitive) — lowercase "line"
     # is ordinary prose ("assembly line") and must not become a road
     ("named", re.compile(
-        r"(?<![\w-])((?:[A-Z][\w.''&-]*\s+){1,4}Line)(?=[\s,.(]|$)"), 0.85),
+        r"(?<![\w-])((?:[A-Z][\w.''&-]*\s+){1,4}Line)(?=[\s,.()]|$)"), 0.85),
     ("feet", re.compile(r"(?i)\b(\d+\s*(?:feet|ft))\b"), 0.92),
-    ("compact", re.compile(r"(?i)\br\s*[-]\s*(\d+[A-Za-z]?)\b"), 0.85),
+    ("compact", re.compile(
+        r"(?i)\br\s*(?:no\.?|[-])\s*(\d+(?:/[A-Za-z0-9]+)*[A-Za-z]?)\b"), 0.85),
 ]
 
 from ..data.gazetteer import DISTRICT_DIVISION as _DD
@@ -147,6 +157,9 @@ def _is_postal_like(value: str, text: str, start: int, end: int) -> bool:
 def _is_road_goli(text: str, start: int, end: int) -> bool:
     """'2 No. Road'-style ward/road numbers are not houses (``:403-446``)."""
     after = text[end:].strip().lower()
+    # reversed house keyword ("78 No House") is a holding number
+    if re.match(r"^no\.?\s+(?:house|basa|basha|bari|building)\b", after):
+        return False
     if re.match(r"^no\.?\s+\w+", after):
         if any(k in after[:50] for k in
                ("road", "goli", "ward", "gate", "checkpost", "rail", "kotowali",
@@ -191,8 +204,11 @@ def _house_candidates(text: str) -> list[Cand]:
                 out.append(Cand(v, conf, method, m.start(1), m.end(2)))
                 continue
             elif method == "positional" and m.start(1) == 0:
-                # a leading single letter + dash is a block prefix, not
-                # part of the house number ("B-33/1" → house 33/1)
+                # R-6/L-2 at the start is a road/lane compact, never a
+                # house; any other leading letter + dash is a block
+                # prefix dropped from the value ("B-33/1" → house 33/1)
+                if re.match(r"(?i)^[rl]-\d", v):
+                    continue
                 v = re.sub(r"(?i)^[A-Za-z]-(?=\d)", "", v)
             out.append(Cand(v, conf, method, m.start(1), m.end(1)))
     return out
@@ -254,8 +270,10 @@ def extract_house(text: str) -> tuple[str, float] | None:
                  and re.search(r"(?:road|lane|avenue|sector|block|flat|floor|lift)\s*"
                                r"(?:no\.?|number|#|:)?\s*[-–]?\s*$",
                                text[:c.start].lower()[-20:]))
-        # ... nor immediately precede a road/block keyword ("6 Road")
-        and not (c.method in ("slash", "positional")
+        # ... nor immediately precede a road/block keyword ("6 Road") —
+        # slash-form values are holding numbers even there ("5/8 Block E"
+        # is house 5/8), so the guard applies to plain numbers only
+        and not (c.method in ("slash", "positional") and "/" not in c.value
                  and re.match(r"\s*(?:no\.?\s*)?(?:road|lane|avenue|block|sector|goli|feet|ft)\b",
                               text[c.end:].lower()))
     ]
@@ -276,8 +294,21 @@ def extract_road(text: str, house_value: str | None) -> tuple[str, float] | None
                 name_part = re.sub(r"(?i)\s*(?:road|rd|lane|avenue|street|goli|sarani|sarak|রোড|লেন|গলি)$", "", v)
                 # trim leading stop words ("6no Kotowali Road" → "Kotowali")
                 words = name_part.split()
-                while words and _ROAD_NAME_STOP.fullmatch(words[0]):
+                while words and _ROAD_NAME_STOP.fullmatch(words[0].strip(".,")):
                     words = words[1:]
+                # a leading orphan letter after a house slash ("24/A
+                # Tiposultan Road") belongs to the house number
+                if (len(words) > 1 and len(words[0]) == 1
+                        and m.start(1) > 0 and text[m.start(1) - 1] == "/"):
+                    words = words[1:]
+                # a sentence boundary inside the span ("Staff Quarter.
+                # Virgin Bakery Lane") cuts the name; dotted
+                # abbreviations (K.M, F.M., B.T) are not boundaries
+                for i in range(len(words) - 1, -1, -1):
+                    w = words[i]
+                    if w.endswith(".") and "." not in w[:-1] and len(w) > 3:
+                        words = words[i + 1:]
+                        break
                 # Bangla-script road names: the labeled corpus keeps only
                 # the word adjacent to the keyword ("... ফার্মেসির পাশের
                 # গলি" → "পাশের গলি"), while English names keep the full
@@ -286,7 +317,9 @@ def extract_road(text: str, house_value: str | None) -> tuple[str, float] | None
                 if words and re.search(r"[ঀ-৿]", words[-1]):
                     words = words[-1:]
                 name_part = " ".join(words)
-                if not name_part or _ROAD_NAME_STOP.search(name_part) or len(name_part) < 3:
+                if not name_part or len(name_part) < 2:
+                    continue
+                if all(_ROAD_NAME_STOP.fullmatch(w.strip(".,")) for w in name_part.split()):
                     continue
                 kw = re.search(r"(?i)(road|rd|lane|avenue|street|goli|sarani|sarak|রোড|লেন|গলি)$", v)
                 v = name_part + (" " + kw.group(1) if kw else "")
@@ -305,15 +338,46 @@ def extract_road(text: str, house_value: str | None) -> tuple[str, float] | None
     ]
     if not kept:
         return None
-    # within a priority class the LAST occurrence wins — matches the
-    # reference's labeled behavior ("Road 12, Avenue 6" → 6;
-    # "Garden Street, Ring Road" → Ring). A keyword-led candidate whose
-    # value ties the house number survives the veto but only as a last
+    named_exists = any(c.method == "named" for c in kept)
+    if named_exists:
+        # a numbered candidate whose keyword is glued to a proper-name
+        # road phrase ("Shekertak Road #8", "Agrabad CDA Road 1") is an
+        # annex of the NAMED road — the label keeps the name; likewise
+        # "N No Road/Goli" ward-style numbering ("(2 No Road)",
+        # "1 No. Raja Srinath Street") loses to a real road name
+        def _annexed(c: Cand) -> bool:
+            if c.method == "keyword_no" and re.search(
+                    r"[A-Z][\w.&'’-]*\s+(?:Road|Rd|Lane|Ln|Avenue|Ave|Street)\s*"
+                    r"(?:No\.?|Number|#|:)?\s*[-–]?\s*$", text[:c.start], re.I):
+                return True
+            if c.method == "num_first" and re.match(
+                    r"\s*no\.?\s", text[c.end:], re.I):
+                return True
+            return False
+        kept = [c for c in kept if not _annexed(c)] or kept
+    # Within the numbered class the labeled corpus ranks the keyword:
+    # Lane > Avenue > Road ("Road 12, Avenue 6" → 6; "Road 1, Lane 2"
+    # → 2), ties broken by LAST occurrence. Named roads prefer the
+    # FIRST occurrence ("Crescent Road, Green Road" → Crescent;
+    # 19:3 in the labeled corpus). A keyword-led candidate whose value
+    # ties the house number survives the veto but only as a last
     # resort ("Road-1, House-1" → road 1, yet "22 No Road …, Road 1,
     # House 1" → road 22).
-    prio = {"keyword_no": 3, "num_first": 3, "feet": 2, "named": 1, "compact": 1}
-    best = max(kept, key=lambda c: (c.value != house_value,
-                                    prio[c.method], c.start, c.value))
+    prio = {"keyword_no": 3, "num_first": 3, "feet": 1, "named": 1, "compact": 1}
+
+    def _kwrank(c: Cand) -> int:
+        if c.method not in ("keyword_no", "num_first"):
+            return 0
+        if c.value.lower().startswith("line"):
+            return 2                     # Line outranks Avenue/Road too
+        m = re.search(r"(?i)\b(road|rd|lane|ln|avenue|ave|sarani|sarak)\s*"
+                      r"(?:no\.?|number|#|:)?\s*[-–]?\s*$", text[:c.start])
+        kw = (m.group(1).lower() if m else "")
+        return {"lane": 2, "ln": 2, "avenue": 1, "ave": 1}.get(kw, 0)
+
+    best = max(kept, key=lambda c: (
+        c.value != house_value, prio[c.method], _kwrank(c),
+        -c.start if prio[c.method] == 1 else c.start, c.value))
     return best.value, best.conf
 
 

@@ -127,6 +127,7 @@ class LinkagePlan:
         use_minhash: bool = True,
         unique_level: bool = True,
         gazetteer: DataFrame | None = None,
+        area_vocab: DataFrame | None = None,
         profile: str | None = None,
         stages: frozenset[str] | None = None,
     ):
@@ -156,6 +157,11 @@ class LinkagePlan:
         # recall is untouched.
         self.unique_level = unique_level
         self.gazetteer = gazetteer
+        # (variant, area) rows derived from a labeled corpus
+        # (gazetteer_build.area_vocab_from_labeled) — the reference
+        # builds its gazetteer from the batch's own labeled input, so
+        # candidate generation recognizes every labeled area
+        self.area_vocab = area_vocab
         self.observations: dict[str, Observation] = {}
 
     # -- S1 ---------------------------------------------------------------
@@ -192,14 +198,16 @@ class LinkagePlan:
                 .localCheckpoint(eager=False)
             )
             ev = extract_evidence(uniq, id_col="norm_key", text_col="normalized",
-                                  gazetteer=self.gazetteer, stages=self.stages)
+                                  gazetteer=self.gazetteer,
+                                  area_vocab=self.area_vocab, stages=self.stages)
             wide_u = resolved_wide(resolve_evidence(ev))  # mention_id == norm_key
             wide = keyed.join(
                 wide_u.withColumnRenamed("mention_id", "norm_key"), "norm_key", "left"
             )
         else:
             keyed = keyed.localCheckpoint(eager=False)
-            ev = extract_evidence(keyed, gazetteer=self.gazetteer, stages=self.stages)
+            ev = extract_evidence(keyed, gazetteer=self.gazetteer,
+                                  area_vocab=self.area_vocab, stages=self.stages)
             wide = keyed.join(resolved_wide(resolve_evidence(ev)), "mention_id", "left")
         for c in ALL_COMPONENTS + ["overall_confidence"]:
             if c not in wide.columns:

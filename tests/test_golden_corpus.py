@@ -6,11 +6,13 @@ harness canonicalizes the reference's stylistically inconsistent labels
 (see tools/eval_golden.canon) before comparing.
 
 Thresholds are pinned just below the measured accuracy of the deep
-extraction battery (house .935, road .923, area .933, district 1.0,
-division 1.0, postal 1.0, flat 1.0, floor 1.0, block .964) so any
-regression in guards/priority logic fails loudly. Extraction is
-deterministic — no flakiness margin needed beyond label noise already
-measured.
+extraction battery (house .967, road .936, area .971, district 1.0,
+division 1.0, postal 1.0, flat 1.0, floor 1.0, block .964 on this
+fixture; on the FULL 1,363-record corpus: house .959, road .923,
+area .933, district .990, division .993, postal .990, flat .958,
+floor .982, block .991) so any regression in guards/priority logic
+fails loudly. Extraction is deterministic — no flakiness margin
+needed beyond label noise already measured.
 """
 
 import json
@@ -23,9 +25,9 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 THRESHOLDS = {
-    "house_number": 0.94, "road": 0.93, "area": 0.93,
+    "house_number": 0.96, "road": 0.93, "area": 0.96,
     "district": 0.99, "division": 0.99, "postal_code": 0.99,
-    "flat_number": 0.95, "floor_number": 0.99, "block_number": 0.95,
+    "flat_number": 0.99, "floor_number": 0.99, "block_number": 0.95,
 }
 
 

@@ -42,12 +42,22 @@ def canon(component: str, v: str | None) -> str:
     v = v.translate(str.maketrans("০১২৩৪৫৬৭৮৯", "0123456789"))
     v = v.replace("#", "").replace("নং", "").strip()
     if component == "house_number":
-        v = re.sub(r"^(?:house|holding|bldg|building|plot|basa|basha|বাড়ি|বাসা)\s*(?:no\.?|number)?\s*[-:]?\s*", "", v)
-        v = re.sub(r"^h[\s-]+(?=\d)", "", v)
+        v = re.sub(r"^(?:house|holding|home|bldg|building|bari|plot|basa|basha|বাড়ি|বাসা|হোল্ডিং)\s*(?:no\.?|number)?\s*[-:]?\s*", "", v)
+        # label style noise: "H#313/A" vs "313/A" vs "H-313" all denote
+        # the same holding — fold the H prefix on both sides
+        v = re.sub(r"^h[\s#-]*(?=\d)", "", v)
     if component == "road":
         v = v.replace(":", " ")
-        v = re.sub(r"\b(?:road|rd\.?|lane|ln\.?|avenue|ave\.?|no\.?|number|sarani|sarak|goli|রোড|লেন|গলি|সড়ক|নাম্বার)\b", " ", v)
+        v = re.sub(r"\b(?:road|rd\.?|lane|ln\.?|avenue|ave\.?|no\.?|number|sarani|sarak|goli)\b", " ", v)
+        # Bangla combining vowel signs are not \w in Python re, so \b
+        # misfires after them — strip Bangla keywords without boundaries
+        v = re.sub(r"রোড|লেন|গলি|সড়ক|নাম্বার", " ", v)
         v = re.sub(r"^r\b\.?", " ", v)
+        # "R#21" / "Road#04" glue (the # was swallowed above): fold the
+        # keyword prefix on both sides
+        v = re.sub(r"^r(?:oad)?[\s#-]*(?=\d)", "", v)
+    if component == "district":
+        v = v.replace("'", "").replace("’", "")
     if component == "floor_number":
         v = re.sub(r"(?<=\d)(?:st|nd|rd|th)\b", "", v)
         v = re.sub(r"\b(?:floor|fl|level)\b", " ", v)
@@ -65,6 +75,10 @@ def canon(component: str, v: str | None) -> str:
     if component == "area":
         v = re.sub(r"\b(?:north|south|east|west|middle|new|old|uttor|dokkhin|purbo|poschim|পূর্ব|পশ্চিম|উত্তর|দক্ষিণ)\b", " ", v)
         v = re.sub(r"\br/?a\b|\bresidential\s+area\b|\babashik\b", " ", v)
+        # label style noise: "Dhaka Cantonment" / "Dhaka Cantt" /
+        # "Cantonment" all name the same locality
+        v = re.sub(r"\bcantt\b", "cantonment", v)
+        v = re.sub(r"\bdhaka\s+(?=cant)", "", v)
     v = re.sub(r"[\s,.\-–]+", " ", v).strip()
     return v
 
@@ -85,7 +99,25 @@ def evaluate(records=None, show_miss: str | None = None) -> dict:
     df = spark.createDataFrame(
         [(str(r["id"]), r["address"]) for r in records], "mention_id string, raw string"
     ).withColumn("normalized", normalize_expr("raw"))
-    ev = extract_evidence(df)
+    # Reference lifecycle parity (production_address_extractor.py:
+    # 1205-1257): the extractor's gazetteer is built from the batch's
+    # own labeled input, so candidate generation knows every labeled
+    # area. Labels are normalized like mention text before keying.
+    from pyspark.sql import functions as SF
+
+    from ai_bangladesh_address_parser_spark.operators.gazetteer_build import (
+        area_vocab_from_labeled,
+        build_gazetteer,
+    )
+    lab = spark.createDataFrame(
+        [(r["components"].get("area") or "", r["components"].get("district") or "",
+          r["components"].get("division") or "", r["components"].get("postal_code") or "")
+         for r in records],
+        "area string, district string, division string, postal_code string",
+    ).withColumn("area", normalize_expr(SF.col("area")))
+    gazetteer = build_gazetteer(lab)
+    area_vocab = area_vocab_from_labeled(lab)
+    ev = extract_evidence(df, gazetteer=gazetteer, area_vocab=area_vocab)
     wide = resolved_wide(resolve_evidence(ev))
     got = {r["mention_id"]: r.asDict() for r in wide.collect()}
 
