@@ -465,9 +465,13 @@ def gazetteer_evidence(evidence: DataFrame, gazetteer: DataFrame | None = None) 
             F.lit(0.98).alias("a_postal_conf"),
         )
     else:
+        cols = gazetteer.columns
         adim = gazetteer.select(
             F.col("area").alias("a_key"),
-            F.col("area").alias("a_area"),
+            # evidence value must match the vocabulary evidence's surface
+            # form — a lowercased key would case-split the Stage-8 vote
+            (F.col("area_display") if "area_display" in cols else F.col("area"))
+            .alias("a_area"),
             F.col("district").alias("a_district"),
             F.col("top_postal").alias("a_top_postal"),
             F.coalesce("postal_confidence", F.lit(0.90)).alias("a_postal_conf"),

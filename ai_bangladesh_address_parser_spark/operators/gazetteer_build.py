@@ -85,6 +85,7 @@ def build_gazetteer(
     """
     rec = labeled.select(
         F.lower(F.trim(F.col(area_col))).alias("area"),
+        F.trim(F.col(area_col)).alias("disp"),
         F.coalesce(F.trim(F.col(district_col)), F.lit("")).alias("district"),
         F.coalesce(F.trim(F.col(division_col)), F.lit("")).alias("division"),
         F.when(F.trim(F.col(postal_col)).rlike(r"^\d{4}$"), F.trim(F.col(postal_col)))
@@ -124,6 +125,7 @@ def build_gazetteer(
     out = (
         base.join(_mode(rec, "district"), "area", "left")
         .join(_mode(rec, "division"), "area", "left")
+        .join(_mode(rec, "disp"), "area", "left")
         .join(postal_agg, "area", "left")
     )
     return out.select(
@@ -132,4 +134,9 @@ def build_gazetteer(
         F.coalesce("division", F.lit("")).alias("division"),
         "postal_codes", "top_postal", "n_postals", "n_records",
         "top_share", "postal_confidence",
+        # surface form for emitted evidence: validated-area values must
+        # vote as the SAME value the vocabulary evidence produced, not
+        # as the lowercased key (a case-split vote hands the win to a
+        # co-mentioned locality)
+        F.coalesce("disp", F.col("area")).alias("area_display"),
     )
