@@ -75,8 +75,8 @@ _HOUSE_TIERS = [
 
 _ROAD_TIERS = [
     ("keyword_no", re.compile(
-        r"(?i)\b(?:road|rd|lane|ln|avenue|ave|sarani|sarak)"
-        r"(?:\s*(?:no\.?|number|#|:)){0,2}\s*[-–]?\s*"
+        r"(?i)\b(?:road|rd|lane|ln|avenue|ave|sarani|sarak|লেইন)"
+        r"(?:\s*(?:no\.?|number|#|:|নম্বর|নং)){0,2}\s*[-–]?\s*"
         r"([A-Za-z]?\d+(?:st|nd|rd|th)?(?:/[A-Za-z0-9ঀ-৿]+)*[A-Za-z]?)\b"), 0.95),
     # "Line 16" keeps its keyword: the labeled corpus treats Line as part
     # of the road name ("Block #C, Line #16" → road "Line 16"), unlike
@@ -85,7 +85,7 @@ _ROAD_TIERS = [
         r"(?i)\b(line\s*(?:no\.?|number|#|:)?\s*[-–]?\s*\d+[A-Za-z]?)\b"), 0.95),
     # "6 No. Road" / "6 Road" — number BEFORE the keyword
     ("num_first", re.compile(
-        r"(?i)\b(\d+(?:st|nd|rd|th)?[A-Za-z]?)\s*(?:no\.?\s*)?(?:road|goli|lane|avenue)\b"), 0.88),
+        r"(?i)\b(\d+(?:st|nd|rd|th|[ঀ-৿]{1,2})?[A-Za-z]?)\s*(?:no\.?\s*)?(?:road|goli|lane|avenue)\b"), 0.88),
     ("named", re.compile(
         r"(?i)(?<![\w-])((?:[A-Za-zঀ-৿][\wঀ-৿.''&-]*\s+){1,5}?"
         r"(?:road|rd|lane|avenue|street|goli|sarani|sarak|রোড|লেন|গলি))(?=[\s,.()]|$)"), 0.85),
@@ -94,7 +94,7 @@ _ROAD_TIERS = [
     # is ordinary prose ("assembly line") and must not become a road
     ("named", re.compile(
         r"(?<![\w-])((?:[A-Z][\w.''&-]*\s+){1,4}Line)(?=[\s,.()]|$)"), 0.85),
-    ("feet", re.compile(r"(?i)\b(\d+\s*(?:feet|ft))\b"), 0.92),
+    ("feet", re.compile(r"(?i)\b(\d+\s*(?:feet|ft|ফিট|ফুট))(?![\w])"), 0.92),
     ("compact", re.compile(
         r"(?i)\br\s*(?:no\.?|[-])\s*(\d+(?:/[A-Za-z0-9]+)*[A-Za-z]?)\b"), 0.85),
 ]
@@ -309,13 +309,6 @@ def extract_road(text: str, house_value: str | None) -> tuple[str, float] | None
                     if w.endswith(".") and "." not in w[:-1] and len(w) > 3:
                         words = words[i + 1:]
                         break
-                # Bangla-script road names: the labeled corpus keeps only
-                # the word adjacent to the keyword ("... ফার্মেসির পাশের
-                # গলি" → "পাশের গলি"), while English names keep the full
-                # phrase — mirror the reference's single-token Bangla
-                # capture (road_processor Bangla রোড/গলি patterns)
-                if words and re.search(r"[ঀ-৿]", words[-1]):
-                    words = words[-1:]
                 name_part = " ".join(words)
                 if not name_part or len(name_part) < 2:
                     continue
@@ -347,7 +340,7 @@ def extract_road(text: str, house_value: str | None) -> tuple[str, float] | None
         # "1 No. Raja Srinath Street") loses to a real road name
         def _annexed(c: Cand) -> bool:
             if c.method == "keyword_no" and re.search(
-                    r"[A-Z][\w.&'’-]*\s+(?:Road|Rd|Lane|Ln|Avenue|Ave|Street)\s*"
+                    r"[A-Zঀ-৿][\wঀ-৿.&'’-]*\s+(?:Road|Rd|Lane|Ln|Avenue|Ave|Street)\s*"
                     r"(?:No\.?|Number|#|:)?\s*[-–]?\s*$", text[:c.start], re.I):
                 return True
             if c.method == "num_first" and re.match(

@@ -51,11 +51,11 @@ def canon(component: str, v: str | None) -> str:
         v = re.sub(r"\b(?:road|rd\.?|lane|ln\.?|avenue|ave\.?|no\.?|number|sarani|sarak|goli)\b", " ", v)
         # Bangla combining vowel signs are not \w in Python re, so \b
         # misfires after them — strip Bangla keywords without boundaries
-        v = re.sub(r"রোড|লেন|গলি|সড়ক|নাম্বার", " ", v)
+        v = re.sub(r"রোড|লেইন|লেন|গলি|সড়ক|নাম্বার|নম্বর", " ", v)
         v = re.sub(r"^r\b\.?", " ", v)
         # "R#21" / "Road#04" glue (the # was swallowed above): fold the
         # keyword prefix on both sides
-        v = re.sub(r"^r(?:oad)?[\s#-]*(?=\d)", "", v)
+        v = re.sub(r"^r(?:oad)?[\s#-]*(?=[a-z]?\d)", "", v)
     if component == "district":
         v = v.replace("'", "").replace("’", "")
     if component == "floor_number":
