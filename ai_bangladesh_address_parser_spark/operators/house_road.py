@@ -55,7 +55,7 @@ _HOUSE_TIERS = [
     ("banglish", re.compile(
         r"(?i)\b(" + _BANGLISH_FULL + r"\s*[-/]?\s*\d+(?:[/-][A-Za-z0-9]+)*)"), 0.90),
     ("slash", re.compile(
-        r"(?<![\w/.-])(\d+(?:[/-][A-Za-z0-9ঀ-৿]+)+(?:\s[A-Za-z]\b)?)"), 0.92),
+        r"(?<![\w/.-])(\d+(?:[/-][A-Za-z0-9ঀ-৿]+)+(?:\s(?:[A-Za-z]\b|[A-Za-z]{2}\b(?!\s+[A-Z])))?)"), 0.92),
     ("contextual", re.compile(r"(?i)\bh\s*-?\s*(\d+(?:[/-][A-Za-z0-9]+)*[A-Za-z]?)\b"), 0.90),
     ("positional", re.compile(
         r"^\W{0,3}([A-Za-z]?[-/]?\d+[A-Za-z]?(?:[/-][A-Za-z0-9ঀ-৿]+)*)(?=[\s,(])"), 0.85),

@@ -57,7 +57,8 @@ def canon(component: str, v: str | None) -> str:
         # keyword prefix on both sides
         v = re.sub(r"^r(?:oad)?[\s#-]*(?=[a-z]?\d)", "", v)
     if component == "district":
-        v = v.replace("'", "").replace("’", "")
+        # apostrophe variants (Cox's/Cox’s/Coxʼs Bazar) and stray marks
+        v = re.sub(r"[^\w\s]", "", v)
     if component == "floor_number":
         v = re.sub(r"(?<=\d)(?:st|nd|rd|th)\b", "", v)
         v = re.sub(r"\b(?:floor|fl|level)\b", " ", v)
