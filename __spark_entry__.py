@@ -585,6 +585,27 @@ def q_a5_gazetteer_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("area")
 
 
+def q_a6_area_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 companion: area candidate vocabulary derived from a labeled
+    corpus (area_vocab_from_labeled) — labels normalize like mention
+    text (Bangla → Banglish, trim), key = lowercased label, emitted
+    surface form = most frequent original casing (count desc, binary
+    label asc)."""
+    from ai_bangladesh_address_parser_spark.operators.gazetteer_build import (
+        area_vocab_from_labeled,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    labels = F.array(
+        F.lit("Gulshan"), F.lit("gulshan"), F.lit("GULSHAN"),
+        F.lit("Banani"), F.lit(" banani "), F.lit("মিরপুর"), F.lit("Mirpur"),
+    )
+    lab = c.select(
+        F.element_at(labels, (F.col("c_custkey") % 7).cast("int") + 1).alias("area")
+    )
+    return area_vocab_from_labeled(lab).orderBy("variant")
+
+
 # J: lookup / enrichment joins
 
 
@@ -898,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_batch_stats": q_a3_batch_stats,
         "a4_confidence_histogram": q_a4_confidence_histogram,
         "a5_gazetteer_build": q_a5_gazetteer_build,
+        "a6_area_vocab": q_a6_area_vocab,
         "j1_gazetteer_enrich": q_j1_gazetteer_enrich,
         "j7_suggest": q_j7_suggest,
         "d1_exact_dedup": q_d1_exact_dedup,
@@ -1515,6 +1537,22 @@ def oracle_sql() -> dict[str, str]:
                         when cnt * 1.0 / n_records >= 0.6 then 0.95
                         else 0.90 end as double) as postal_confidence
             from top order by area
+        """,
+        "a6_area_vocab": """
+            with lab as (
+              select trim(case c_custkey % 7
+                       when 0 then 'Gulshan' when 1 then 'gulshan'
+                       when 2 then 'GULSHAN' when 3 then 'Banani'
+                       when 4 then ' banani ' when 5 then 'Mirpur'
+                       else 'Mirpur' end) as label
+              from customer),
+            cnt as (select lower(label) as variant, label, count(*) as c
+                    from lab where length(label) >= 3 group by 1, 2),
+            pick as (select variant, label as area,
+                            row_number() over (partition by variant
+                              order by c desc, label asc) as rn
+                     from cnt)
+            select variant, area from pick where rn = 1 order by variant
         """,
         "j1_gazetteer_enrich": f"""
             with m as (
