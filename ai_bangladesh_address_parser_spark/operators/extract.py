@@ -293,10 +293,13 @@ def vocab_evidence(mentions: DataFrame, id_col: str = "mention_id",
     the static seed (the corpus's own naming is authoritative for it).
     """
     spark = mentions.sparkSession
-    toks = _token_candidates(mentions, id_col, text_col)
+    # four consumer branches (district, area, fuzzy-district, division)
+    # would each re-run the token explode and its district join —
+    # materialize both once (measured 9.4s → ~3s for the stage)
+    toks = _token_candidates(mentions, id_col, text_col).localCheckpoint(eager=False)
 
     dv = F.broadcast(gz.district_variants_df(spark))
-    dhits = toks.join(dv, toks.key == dv.variant, "inner")
+    dhits = toks.join(dv, toks.key == dv.variant, "inner").localCheckpoint(eager=False)
     # last comma-part → 0.95 (end-of-address rule), else 0.90
     dist_ev = (
         dhits.groupBy("mention_id", "district")
