@@ -228,6 +228,82 @@ def q_t11_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T12: country extraction cascade (district_processor.py:177-212) —
+# templates exercise every rung: end-of-address 1.00, last-comma-part
+# 0.98, anywhere 0.90, default-Bangladesh 0.95, table-order priority
+# (pakistan beats burma), dotted b.d variants. ASCII only so the
+# DuckDB RE2 \b oracle is exact; Bangla variants are pytest-covered.
+_COUNTRY_TEMPLATES = [
+    "House 5, Dhanmondi, Dhaka, Bangladesh",
+    "House 5, Dhaka bd.",
+    "Road 2, Gulshan, bangladesh 1212",
+    "bangladesh er dhaka, Mirpur",
+    "House 9, Uttara",
+    "Kolkata, India",
+    "burma pakistan street, Rangoon",
+    "Dhaka B.D",
+    "Sri Lanka visit office, Banani, Dhaka",
+    "Hotel near Nepal border, Thamel",
+]
+
+_COUNTRY_ASCII = [
+    ("Bangladesh", ["bangladesh", "bd", "b.d.", "b.d", "bdesh"]),
+    ("India", ["india", "ind"]),
+    ("Pakistan", ["pakistan", "pak"]),
+    ("Myanmar", ["myanmar", "burma"]),
+    ("Nepal", ["nepal"]),
+    ("Bhutan", ["bhutan"]),
+    ("Sri Lanka", ["sri lanka", "srilanka", "ceylon"]),
+]
+
+
+def q_t12_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_bangladesh_address_parser_spark.functions.country import country_expr
+
+    c = _t(spark, sf_dir, "customer")
+    arr = F.array(*[F.lit(t) for t in _COUNTRY_TEMPLATES])
+    d = c.select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id"),
+        F.element_at(arr, (F.col("c_custkey") % 10).cast("int") + 1).alias("addr"),
+    )
+    s = country_expr("addr")
+    return d.select(
+        "mention_id", "addr",
+        s["country"].alias("country"),
+        F.round(s["country_confidence"], 6).alias("country_confidence"),
+    )
+
+
+def _country_oracle_sql() -> str:
+    """DuckDB twin of functions/country.country_expr — the same
+    first-match-wins cascade as two parallel CASE chains."""
+    addr_case = ("case c_custkey % 10 " + " ".join(
+        f"when {i} then '{t}'" for i, t in enumerate(_COUNTRY_TEMPLATES[:-1]))
+        + f" else '{_COUNTRY_TEMPLATES[-1]}' end")
+    country_whens, conf_whens = [], []
+    for country, vs in _COUNTRY_ASCII:
+        for v in vs:
+            rx = v.replace(".", "\\.")
+            cond = f"regexp_matches(la, '\\b{rx}\\b')"
+            country_whens.append(f"when {cond} then '{country}'")
+            conf_whens.append(
+                f"when {cond} then (case when ends_with(la, '{v}') "
+                f"or ends_with(la, '{v}.') then 1.00 "
+                f"when contains(list_extract(string_split(la, ','), -1), '{v}') "
+                f"then 0.98 else 0.90 end)")
+    return f"""
+        with d as (select lpad(cast(c_custkey as varchar), 6, '0') as mention_id,
+                          {addr_case} as addr
+                   from customer),
+        l as (select mention_id, addr, lower(addr) as la from d)
+        select mention_id, addr,
+               case {' '.join(country_whens)} else 'Bangladesh' end as country,
+               round(cast(case {' '.join(conf_whens)} else 0.95 end as double), 6)
+                 as country_confidence
+        from l
+    """
+
+
 # P: pairwise / validation
 
 
@@ -902,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_regex_extract": q_t3_regex_extract,
         "t7_district_vocab": q_t7_district_vocab,
         "t11_format": q_t11_format,
+        "t12_country": q_t12_country,
         "p1_score_pairs": q_p1_score_pairs,
         "p2_candidate_pairs": q_p2_candidate_pairs,
         "p5_jaro_winkler": q_p5_jaro_winkler,
@@ -1078,6 +1155,7 @@ def oracle_sql() -> dict[str, str]:
                    concat_ws(', ', area, district) as formatted_minimal
             from comp
         """,
+        "t12_country": _country_oracle_sql(),
         "p1_score_pairs": """
             with c as (select lpad(cast(c_custkey as varchar),6,'0') as cid,
                               c_nationkey as nk, c_mktsegment as seg,

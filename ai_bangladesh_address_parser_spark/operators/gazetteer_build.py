@@ -83,9 +83,19 @@ def build_gazetteer(
     Areas with no valid postal rows still appear (from district/division
     modes) with null postal fields.
     """
+    from ..functions.normalize import normalize_expr
+
+    # Normalize area labels exactly like mention text (Bangla → Banglish,
+    # numeral folding, whitespace collapse) so the lowercase key matches
+    # the lower(evidence.area)==a_key join in gazetteer_evidence and the
+    # display surface matches what area_vocab_from_labeled emits — a raw
+    # Bangla-script or case-variant label would otherwise never join and
+    # would case-split the Stage-8 vote. normalize_expr is idempotent, so
+    # callers that pre-normalize (tools/eval_golden.py) are unaffected.
+    norm_area = normalize_expr(F.trim(F.col(area_col)))
     rec = labeled.select(
-        F.lower(F.trim(F.col(area_col))).alias("area"),
-        F.trim(F.col(area_col)).alias("disp"),
+        F.lower(norm_area).alias("area"),
+        norm_area.alias("disp"),
         F.coalesce(F.trim(F.col(district_col)), F.lit("")).alias("district"),
         F.coalesce(F.trim(F.col(division_col)), F.lit("")).alias("division"),
         F.when(F.trim(F.col(postal_col)).rlike(r"^\d{4}$"), F.trim(F.col(postal_col)))

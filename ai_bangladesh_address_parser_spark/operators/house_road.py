@@ -54,8 +54,18 @@ _HOUSE_TIERS = [
         r"(?i)\b(\d+(?:/[A-Za-z0-9]+)*)\s*no\.?\s*(?:house|basa|basha|bari)\b"), 0.88),
     ("banglish", re.compile(
         r"(?i)\b(" + _BANGLISH_FULL + r"\s*[-/]?\s*\d+(?:[/-][A-Za-z0-9]+)*)"), 0.90),
+    # keyword-free compound tier: requires at least one '/' in the
+    # compound (only dash segments may precede it) — a pure dash
+    # compound like "10-12" is as likely a range/score as a holding
+    # number, so without a slash it must earn a keyword tier instead
     ("slash", re.compile(
-        r"(?<![\w/.-])(\d+(?:[/-][A-Za-z0-9ঀ-৿]+)+(?:\s(?:[A-Za-z]\b|[A-Za-z]{2}\b(?!\s+[A-Z])))?)"), 0.92),
+        r"(?<![\w/.-])(?=\d+(?:-[A-Za-z0-9ঀ-৿]+)*/)"
+        r"(\d+(?:[/-][A-Za-z0-9ঀ-৿]+)+(?:\s(?:[A-Za-z]\b|[A-Za-z]{2}\b(?!\s+[A-Z])))?)"), 0.92),
+    # dash-only compound: admitted only with house/flat context nearby
+    # (ADVICE r2: unguarded dash compounds widen the non-house surface)
+    ("slash", re.compile(
+        r"(?i)(?:house|home|holding|basa|basha|bari|flat|apartment)\D{0,12}?"
+        r"(?<![\w/.-])(\d+(?:-[A-Za-z0-9ঀ-৿]+)+(?:\s(?:[A-Za-z]\b|[A-Za-z]{2}\b(?!\s+[A-Z])))?)"), 0.92),
     ("contextual", re.compile(r"(?i)\bh\s*-?\s*(\d+(?:[/-][A-Za-z0-9]+)*[A-Za-z]?)\b"), 0.90),
     ("positional", re.compile(
         r"^\W{0,3}([A-Za-z]?[-/]?\d+[A-Za-z]?(?:[/-][A-Za-z0-9ঀ-৿]+)*)(?=[\s,(])"), 0.85),

@@ -213,6 +213,13 @@ class LinkagePlan:
             if c not in wide.columns:
                 wide = wide.withColumn(c, F.lit(None).cast("double" if c == "overall_confidence" else "string"))
         wide = wide.na.fill({c: "" for c in ALL_COMPONENTS})
+        # country rides OUTSIDE resolve and the overall-confidence mean,
+        # exactly like the reference's district-processor City fields
+        # (production_address_extractor.py:1292-1304) — see
+        # functions/country.py
+        from ..functions.country import with_country
+
+        wide = with_country(wide, text_col="normalized")
         return self.store.through(self.spark, "s1_mentions", wide)
 
     def unique_mentions(self, mentions_wide: DataFrame) -> DataFrame:

@@ -122,9 +122,26 @@ def run_bench() -> dict:
     from pyspark.sql import Window
 
     addr = nodes.filter(F.col("overall_confidence").isNotNull())
-    idx = addr.select(
-        "norm_key",
-        (F.row_number().over(Window.orderBy("norm_key")) - 1).alias("i"),
+    # dense 0..n-1 index WITHOUT a global window (which serializes onto
+    # one partition): bucket by hash, row_number within bucket, then
+    # offset each bucket by the running count of earlier buckets. Scales
+    # to any kernel input size; ordering is deterministic per input.
+    n_buckets = 64
+    bucketed = addr.select(
+        "norm_key", (F.pmod(F.xxhash64("norm_key"), F.lit(n_buckets))).alias("b")
+    )
+    within = bucketed.withColumn(
+        "r", F.row_number().over(Window.partitionBy("b").orderBy("norm_key")) - 1
+    )
+    sizes = {r["b"]: r["sz"] for r in
+             within.groupBy("b").agg(F.count(F.lit(1)).alias("sz")).collect()}
+    run, offs = 0, []
+    for b in range(n_buckets):  # n_buckets rows of metadata, driver-side
+        offs.append((b, run))
+        run += sizes.get(b, 0)
+    offsets = spark.createDataFrame(offs, "b bigint, off bigint")
+    idx = within.join(F.broadcast(offsets), "b").select(
+        "norm_key", (F.col("off") + F.col("r")).alias("i")
     ).localCheckpoint(eager=True)
     n_addr = idx.count()
     k_partners = max(1, 3_000_000 // max(n_addr, 1))

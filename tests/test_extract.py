@@ -198,3 +198,51 @@ def test_positional_postal_phone_guard(spark):
     assert "p2" not in got
     assert got["p3"] == {"1216"}
     assert got["p5"] == {"1230"}
+
+
+def test_country_cascade(spark):
+    """T12/country (district_processor.py:177-212): end-of-address 1.00,
+    last-comma-part 0.98, anywhere 0.90, default Bangladesh 0.95; table
+    order wins (pakistan beats burma); Bangla variants word-bound via
+    (?U); country rides outside overall_confidence."""
+    from ai_bangladesh_address_parser_spark.functions.country import with_country
+
+    rows = [
+        ("c1", "House 5, Dhanmondi, Dhaka, Bangladesh"),
+        ("c2", "Road 2, Gulshan, bangladesh 1212"),
+        ("c3", "bangladesh er dhaka, Mirpur"),
+        ("c4", "House 9, Uttara"),
+        ("c5", "burma pakistan street, Rangoon"),
+        ("c6", "Dhaka B.D"),
+        ("c7", "বাড়ি ৫, ঢাকা, বাংলাদেশ"),
+        ("c8", "ভারত sofor seshe, Dhaka"),
+    ]
+    df = spark.createDataFrame(rows, ["mention_id", "normalized"])
+    got = {r["mention_id"]: r for r in with_country(df).collect()}
+    assert (got["c1"]["country"], got["c1"]["country_confidence"]) == ("Bangladesh", 1.00)
+    assert (got["c2"]["country"], got["c2"]["country_confidence"]) == ("Bangladesh", 0.98)
+    assert (got["c3"]["country"], got["c3"]["country_confidence"]) == ("Bangladesh", 0.90)
+    assert (got["c4"]["country"], got["c4"]["country_confidence"]) == ("Bangladesh", 0.95)
+    assert (got["c5"]["country"], got["c5"]["country_confidence"]) == ("Pakistan", 0.90)
+    assert (got["c6"]["country"], got["c6"]["country_confidence"]) == ("Bangladesh", 1.00)
+    assert (got["c7"]["country"], got["c7"]["country_confidence"]) == ("Bangladesh", 1.00)
+    assert (got["c8"]["country"], got["c8"]["country_confidence"]) == ("India", 0.90)
+
+
+def test_country_in_pipeline_wide(spark):
+    """LinkagePlan.extract output carries country columns without
+    touching overall_confidence (reference keeps country outside the
+    components dict)."""
+    from ai_bangladesh_address_parser_spark.plans.pipeline import LinkagePlan
+
+    pages = spark.createDataFrame(
+        [("u1", "House 12, Road 5, Gulshan, Dhaka-1212, Bangladesh."),
+         ("u2", "just some prose with no address at all")],
+        ["url", "text"],
+    )
+    wide = LinkagePlan(spark).extract(pages)
+    rows = {r["url"]: r for r in wide.collect()}
+    assert rows["u1"]["country"] == "Bangladesh"
+    assert rows["u1"]["country_confidence"] in (0.90, 0.95, 0.98, 1.00)
+    assert rows["u2"]["country"] == "Bangladesh"
+    assert rows["u2"]["country_confidence"] == 0.95

@@ -11,8 +11,11 @@ division 1.0, postal 1.0, flat 1.0, floor 1.0, block .964 on this
 fixture; on the FULL 1,363-record corpus: house .959, road .923,
 area .933, district .990, division .993, postal .990, flat .958,
 floor .982, block .991) so any regression in guards/priority logic
-fails loudly. Extraction is deterministic — no flakiness margin
-needed beyond label noise already measured.
+fails loudly. Extraction is deterministic, but labels are noisy at
+the single-record level on a 152-record fixture (1 record = 0.66%),
+so each threshold leaves ~3 records of headroom below measured
+accuracy (ADVICE r2): a genuine guard/priority regression costs many
+records at once; a single new label-noise miss should not fail CI.
 """
 
 import json
@@ -25,9 +28,9 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 THRESHOLDS = {
-    "house_number": 0.96, "road": 0.93, "area": 0.96,
-    "district": 0.99, "division": 0.99, "postal_code": 0.99,
-    "flat_number": 0.99, "floor_number": 0.99, "block_number": 0.95,
+    "house_number": 0.94, "road": 0.91, "area": 0.94,
+    "district": 0.97, "division": 0.97, "postal_code": 0.97,
+    "flat_number": 0.97, "floor_number": 0.97, "block_number": 0.93,
 }
 
 

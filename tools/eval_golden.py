@@ -25,7 +25,8 @@ GOLDEN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))
                       "tests", "data", "golden_addresses.json")
 
 COMPONENTS = ["house_number", "road", "area", "district", "division",
-              "postal_code", "flat_number", "floor_number", "block_number"]
+              "postal_code", "flat_number", "floor_number", "block_number",
+              "country"]
 
 
 def canon(component: str, v: str | None) -> str:
@@ -118,8 +119,12 @@ def evaluate(records=None, show_miss: str | None = None) -> dict:
     ).withColumn("area", normalize_expr(SF.col("area")))
     gazetteer = build_gazetteer(lab)
     area_vocab = area_vocab_from_labeled(lab)
+    from ai_bangladesh_address_parser_spark.functions.country import with_country
+
     ev = extract_evidence(df, gazetteer=gazetteer, area_vocab=area_vocab)
-    wide = resolved_wide(resolve_evidence(ev))
+    wide = resolved_wide(resolve_evidence(ev)).join(
+        df.select("mention_id", "normalized"), "mention_id")
+    wide = with_country(wide, text_col="normalized")
     got = {r["mention_id"]: r.asDict() for r in wide.collect()}
 
     acc, n_present = {}, {}
