@@ -788,18 +788,29 @@ def q_x6_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_t10_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T10 spaCy-NER stage plumbing (mapInPandas, per-partition model
     residency) with the deterministic heuristic backend — the
-    model-free path that runs in this container. No oracle SQL: the
-    Python NER
-    model is not SQL-expressible; the driver records the rows-only
-    check and pytest covers the evidence values."""
+    model-free path that runs in this container. The heuristic's 5
+    keyword rules + the >50%-position postal gate (fsm_parser.py:53-58
+    rule carried into the NER stand-in) are plain regex, so they ARE
+    SQL-expressible: the DuckDB oracle replicates them rule-for-rule.
+    Four templates exercise: all-rules hit, early-postal suppressed,
+    flat/block rules, compound house values."""
     c = _t(spark, sf_dir, "customer")
+    h = (F.col("c_custkey") % 90 + 1).cast("string")
+    r = (F.col("c_custkey") % 12 + 1).cast("string")
+    tmpl = (
+        F.when(F.col("c_custkey") % 4 == 0,
+               F.concat(F.lit("House "), h, F.lit(" Road "), r, F.lit(" Dhaka 1216")))
+        .when(F.col("c_custkey") % 4 == 1,
+              F.concat(F.lit("1216 prose words follow the number "), h))
+        .when(F.col("c_custkey") % 4 == 2,
+              F.concat(F.lit("Flat B-"), r, F.lit(" Block C House "), h, F.lit(" Dhaka")))
+        .otherwise(
+            F.concat(F.lit("House "), h, F.lit("/A Road "), r,
+                     F.lit(" Dhanmondi 1209 Dhaka")))
+    )
     mentions = c.select(
         F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id"),
-        F.concat(
-            F.lit("House "), (F.col("c_custkey") % 90 + 1).cast("string"),
-            F.lit(" Road "), (F.col("c_custkey") % 12 + 1).cast("string"),
-            F.lit(" Dhaka 1216"),
-        ).alias("normalized"),
+        tmpl.alias("normalized"),
     )
     from ai_bangladesh_address_parser_spark.operators.ner import ner_evidence
 
@@ -1156,6 +1167,50 @@ def oracle_sql() -> dict[str, str]:
             from comp
         """,
         "t12_country": _country_oracle_sql(),
+        # t10: the heuristic NER backend is 5 deterministic regex rules
+        # + the >50%-position postal gate — replicated rule-for-rule.
+        # length(lazy-prefix-capture) = Python m.end() of the first
+        # \b\d{4}\b match; *2 > length(text) ⇔ end > len*0.5 strict.
+        "t10_ner": r"""
+            with m as (select lpad(cast(c_custkey as varchar), 6, '0') as mention_id,
+                              cast(c_custkey % 90 + 1 as varchar) as h,
+                              cast(c_custkey % 12 + 1 as varchar) as r,
+                              c_custkey % 4 as idx
+                       from customer),
+            t as (select mention_id,
+                         case idx
+                           when 0 then 'House ' || h || ' Road ' || r || ' Dhaka 1216'
+                           when 1 then '1216 prose words follow the number ' || h
+                           when 2 then 'Flat B-' || r || ' Block C House ' || h || ' Dhaka'
+                           else 'House ' || h || '/A Road ' || r || ' Dhanmondi 1209 Dhaka'
+                         end as normalized
+                  from m),
+            ev as (
+              select mention_id, 'house_number' as component,
+                     regexp_extract(normalized, '(?i)\bhouse\s+(?:no\s+)?([\w/]+)', 1) as value
+              from t
+              union all
+              select mention_id, 'road',
+                     regexp_extract(normalized, '(?i)\broad\s+(?:no\s+)?([\w/]+)', 1)
+              from t
+              union all
+              select mention_id, 'postal_code',
+                     case when length(regexp_extract(normalized, '^(.*?\b\d{4}\b)', 1)) * 2
+                               > length(normalized)
+                          then regexp_extract(normalized, '\b(\d{4})\b', 1) else '' end
+              from t
+              union all
+              select mention_id, 'flat_number',
+                     regexp_extract(normalized, '(?i)\bflat\s+([\w-]+)', 1)
+              from t
+              union all
+              select mention_id, 'block_number',
+                     regexp_extract(normalized, '(?i)\bblock\s+(\w+)', 1)
+              from t)
+            select mention_id, component, value,
+                   cast(0.85 as double) as confidence, 'spacy_ner' as source
+            from ev where value <> ''
+        """,
         "p1_score_pairs": """
             with c as (select lpad(cast(c_custkey as varchar),6,'0') as cid,
                               c_nationkey as nk, c_mktsegment as seg,
