@@ -376,8 +376,15 @@ def q_j3_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return consistency_conflicts(wide)
 
 
+# Cascade surfaces spanning toy and reference-density dims: "Dhaka
+# Sadar" collides with a generated Sadar upazila, a curated post office
+# (exact) AND two generated offices (containment); "Dhakapur100 Bazar"
+# only resolves through the priority-5 containment path; "Mymensinghpur100"
+# exact-matches an upazila whose district the gate must reject for
+# Dhaka/Chattogram-district rows.
 _J4_AREAS = ["Savar", "Savarhat2", "Savargram1", "Gulshan", "Gulsh", "", "Patiya",
-             "zzznope"]
+             "zzznope", "Dhaka Sadar", "Dhakapur100hat2", "Dhakapur100 Bazar",
+             "Mymensinghpur100"]
 
 
 def q_j4_predict_postal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,7 +398,7 @@ def q_j4_predict_postal(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = c.select(
         F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id"),
         F.when(F.col("c_custkey") % 3 == 0, F.lit("")).otherwise(F.lit("1212")).alias("postal_code"),
-        F.element_at(area_arr, (F.col("c_custkey") % 8).cast("int") + 1).alias("area"),
+        F.element_at(area_arr, (F.col("c_custkey") % 12).cast("int") + 1).alias("area"),
         F.when(F.col("c_custkey") % 5 <= 2, F.lit("Dhaka"))
          .when(F.col("c_custkey") % 5 == 3, F.lit("Chattogram"))
          .otherwise(F.lit("")).alias("district"),
@@ -434,7 +441,7 @@ def q_j8_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = c.select(
         F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id"),
         F.element_at(postal_arr, (F.col("c_custkey") % 3).cast("int") + 1).alias("postal_code"),
-        F.element_at(area_arr, (F.col("c_custkey") % 8).cast("int") + 1).alias("area"),
+        F.element_at(area_arr, (F.col("c_custkey") % 12).cast("int") + 1).alias("area"),
         F.when(F.col("c_custkey") % 5 <= 2, F.lit("Dhaka"))
          .when(F.col("c_custkey") % 5 == 3, F.lit("Chattogram"))
          .otherwise(F.lit("")).alias("district"),
@@ -1266,9 +1273,12 @@ def oracle_sql() -> dict[str, str]:
             with wide as (
               select lpad(cast(c_custkey as varchar),6,'0') as mention_id,
                      case when c_custkey % 3 = 0 then '' else '1212' end as postal_code,
-                     (case c_custkey % 8 when 0 then 'Savar' when 1 then 'Savarhat2'
+                     (case c_custkey % 12 when 0 then 'Savar' when 1 then 'Savarhat2'
                         when 2 then 'Savargram1' when 3 then 'Gulshan' when 4 then 'Gulsh'
-                        when 5 then '' when 6 then 'Patiya' else 'zzznope' end) as area,
+                        when 5 then '' when 6 then 'Patiya' when 7 then 'zzznope'
+                        when 8 then 'Dhaka Sadar' when 9 then 'Dhakapur100hat2'
+                        when 10 then 'Dhakapur100 Bazar'
+                        else 'Mymensinghpur100' end) as area,
                      (case when c_custkey % 5 <= 2 then 'Dhaka'
                            when c_custkey % 5 = 3 then 'Chattogram' else '' end) as district
               from customer),
@@ -1397,9 +1407,12 @@ def oracle_sql() -> dict[str, str]:
               select lpad(cast(c_custkey as varchar),6,'0') as mention_id,
                      (case c_custkey % 3 when 0 then '' when 1 then '1340'
                         else '1212' end) as postal_code,
-                     (case c_custkey % 8 when 0 then 'Savar' when 1 then 'Savarhat2'
+                     (case c_custkey % 12 when 0 then 'Savar' when 1 then 'Savarhat2'
                         when 2 then 'Savargram1' when 3 then 'Gulshan' when 4 then 'Gulsh'
-                        when 5 then '' when 6 then 'Patiya' else 'zzznope' end) as area,
+                        when 5 then '' when 6 then 'Patiya' when 7 then 'zzznope'
+                        when 8 then 'Dhaka Sadar' when 9 then 'Dhakapur100hat2'
+                        when 10 then 'Dhakapur100 Bazar'
+                        else 'Mymensinghpur100' end) as area,
                      (case when c_custkey % 5 <= 2 then 'Dhaka'
                            when c_custkey % 5 = 3 then 'Chattogram' else '' end) as district
               from customer),

@@ -111,10 +111,12 @@ BANGLA_BLOCK_MAP: dict[str, str] = {
     "ভ": "Bha", "শ": "Sha", "স": "Sa", "হ": "Ha",
 }
 
-# (area, district, postal_code) — representative public subset covering
-# the reference's fixture addresses; `Dhaka` is intentionally hot
-# (many areas) so skew handling is exercised.
-AREAS: list[tuple[str, str, str]] = [
+# (area, district, postal_code) — curated public subset covering the
+# reference's fixture addresses; `Dhaka` is intentionally hot (many
+# areas) so skew handling is exercised. The full ~400-row dimension the
+# operators consume (reference density, district_processor.py:410-514)
+# is built in ``dims.py`` with these rows as its prefix.
+CURATED_AREAS: list[tuple[str, str, str]] = [
     ("Gulshan", "Dhaka", "1212"), ("Banani", "Dhaka", "1213"),
     ("Dhanmondi", "Dhaka", "1209"), ("Uttara", "Dhaka", "1230"),
     ("Mirpur", "Dhaka", "1216"), ("Mohammadpur", "Dhaka", "1207"),
@@ -140,8 +142,9 @@ AREAS: list[tuple[str, str, str]] = [
     ("Old Dhaka", "Dhaka", "1100"), ("Patenga", "Chattogram", "4204"),
 ]
 
-# area spelling variants (variant_lower, canonical_area)
-AREA_VARIANTS: list[tuple[str, str]] = [
+# area spelling variants (variant_lower, canonical_area); the full
+# AREA_VARIANTS (these + one per dims.AREAS row) lives in dims.py.
+_AREA_VARIANT_SEEDS: list[tuple[str, str]] = [
     ("zigatola", "Jigatola"), ("jigatola", "Jigatola"), ("jhigatola", "Jigatola"),
     ("gulisthan", "Gulisthan"), ("gulistan", "Gulisthan"),
     ("bashundhara", "Bashundhara R/A"), ("bashundhara r/a", "Bashundhara R/A"),
@@ -150,10 +153,11 @@ AREA_VARIANTS: list[tuple[str, str]] = [
     ("tejgaon", "Tejgaon"), ("halishahar", "Halishahar"), ("agrabad", "Agrabad"),
     ("motijheel", "Motijheel"), ("badda", "Badda"), ("khilgaon", "Khilgaon"),
     ("monipur", "Monipur"), ("west monipur", "Monipur"),
-] + [(a.lower(), a) for a, _, _ in AREAS]
+] + [(a.lower(), a) for a, _, _ in CURATED_AREAS]
 
-# (code, district, post_office) — representative postal-code DB rows
-POSTAL_CODES: list[tuple[str, str, str]] = [
+# (code, district, post_office) — curated postal-code DB rows; the full
+# 1,226-row dimension (reference density) is built in dims.py.
+CURATED_POSTAL_CODES: list[tuple[str, str, str]] = [
     ("1000", "Dhaka", "Dhaka GPO"), ("1100", "Dhaka", "Dhaka Sadar"),
     ("1205", "Dhaka", "New Market"), ("1207", "Dhaka", "Mohammadpur"),
     ("1208", "Dhaka", "Tejgaon"), ("1209", "Dhaka", "Jigatola"),
@@ -182,17 +186,33 @@ def district_variants_df(spark: SparkSession) -> DataFrame:
 
 
 def areas_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(AREAS, "area string, district string, postal_code string")
+    from . import dims
+
+    return spark.createDataFrame(dims.AREAS, "area string, district string, postal_code string")
 
 
 def area_variants_df(spark: SparkSession) -> DataFrame:
-    rows = sorted(set(AREA_VARIANTS))
+    from . import dims
+
+    rows = sorted(set(dims.AREA_VARIANTS))
     return spark.createDataFrame(rows, "variant string, area string")
 
 
 def postal_codes_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(POSTAL_CODES, "code string, district string, post_office string")
+    from . import dims
+
+    return spark.createDataFrame(
+        dims.POSTAL_CODES, "code string, district string, post_office string")
 
 
-VALID_POSTAL_CODES = frozenset(code for code, _, _ in POSTAL_CODES)
 DISTRICT_TO_DIVISION = dict(DISTRICT_DIVISION)
+
+_DIMS_ATTRS = ("AREAS", "AREA_VARIANTS", "POSTAL_CODES", "VALID_POSTAL_CODES")
+
+
+def __getattr__(name):  # PEP 562: full-density constants live in dims.py
+    if name in _DIMS_ATTRS:
+        from . import dims
+
+        return getattr(dims, name)
+    raise AttributeError(name)

@@ -32,76 +32,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .gazetteer import DISTRICT_TO_DIVISION
+from .gazetteer import DISTRICT_DIVISION, DISTRICT_TO_DIVISION
 
-# (district, n_upazilas, postal_base) — Dhaka is the hot district
-# (20 of 50 upazilas) per FIXTURES.md F3's skew invariant. Postal bases
-# chosen so upazila codes never collide across districts or with the
-# gazetteer AREAS / POSTAL_CODES tables.
-_DISTRICT_PLAN: list[tuple[str, int, int]] = [
-    ("Dhaka", 20, 1340),
-    ("Chattogram", 6, 4330),
-    ("Sylhet", 4, 3170),
-    ("Rajshahi", 4, 6210),
-    ("Khulna", 4, 9240),
-    ("Barisal", 4, 8250),
-    ("Rangpur", 4, 5440),
-    ("Mymensingh", 4, 2280),
-]
-
-# A few real upazila names per district (public admin geography) for
-# realistic tokens; the remainder are generated single-token names so
-# substring/token matching in J5 is well-defined.
-_REAL_UPAZILAS: dict[str, list[str]] = {
-    "Dhaka": ["Savar", "Dhamrai", "Keraniganj", "Nawabganj", "Dohar"],
-    "Chattogram": ["Patiya", "Sitakunda", "Hathazari", "Raozan"],
-    "Sylhet": ["Beanibazar", "Golapganj"],
-    "Rajshahi": ["Paba", "Charghat"],
-    "Khulna": ["Dumuria", "Rupsa"],
-    "Barisal": ["Bakerganj", "Muladi"],
-    "Rangpur": ["Badarganj", "Kaunia"],
-    "Mymensingh": ["Trishal", "Bhaluka"],
-}
-
-
-# Real "<district> Sadar" upazilas of satellite districts (public admin
-# geography; the reference's full 598-upazila set includes one Sadar
-# upazila for most non-metro districts — bangladesh_geo_offline.py dims).
-# These districts sit in divisions already covered by _DISTRICT_PLAN, so
-# the per-division JSON serialization picks them up unchanged.
-_SATELLITE_UPAZILAS: list[tuple[str, str, str]] = [
-    ("Gazipur Sadar", "Gazipur", "1700"),
-    ("Narayanganj Sadar", "Narayanganj", "1400"),
-    ("Naogaon Sadar", "Naogaon", "6500"),
-    ("Bogura Sadar", "Bogura", "5800"),
-]
-
-
-def _build() -> tuple[list[tuple], list[tuple], list[tuple]]:
-    upazilas, unions, villages = [], [], []
-    for district, n_up, base in _DISTRICT_PLAN:
-        division = DISTRICT_TO_DIVISION[district]
-        seeds = _REAL_UPAZILAS[district]
-        for i in range(n_up):
-            name = seeds[i] if i < len(seeds) else f"{district}pur{i}"
-            code = str(base + 2 * i)
-            upazilas.append((name, district, division, code))
-            for j in range(1, 4):
-                unions.append((f"{name}hat{j}", name, district, division, code))
-            for j in range(1, 3):
-                villages.append(
-                    (f"{name}gram{j}", f"{name}hat1", name, district, division, code)
-                )
-    for name, district, code in _SATELLITE_UPAZILAS:
-        upazilas.append((name, district, DISTRICT_TO_DIVISION[district], code))
-    return upazilas, unions, villages
-
-
-# Flat constants — the ground truth the loader must reproduce.
+# Flat constants — the ground truth the loader must reproduce; built at
+# reference density (598/3,215/2,974) in dims.py, toy rows as a prefix.
 # upazilas: (name, district, division, postal_code)
 # unions:   (name, upazila, district, division, postal_code)
 # villages: (name, union, upazila, district, division, postal_code)
-UPAZILAS, UNIONS, VILLAGES = _build()
+from .dims import UNIONS, UPAZILAS, VILLAGES  # noqa: E402  (re-export)
 
 UPAZILA_SCHEMA = "name string, district string, division string, postal_code string"
 UNION_SCHEMA = "name string, upazila string, district string, division string, postal_code string"
@@ -128,9 +66,8 @@ def villages_df(spark: SparkSession) -> DataFrame:
 def _division_tree(division: str) -> list[dict]:
     """Nested district objects for one division."""
     out = []
-    districts = [d for d, _, _ in _DISTRICT_PLAN] + sorted(
-        {d for _, d, _ in _SATELLITE_UPAZILAS}
-    )
+    present = {d for _, d, _, _ in UPAZILAS}
+    districts = [d for d, _ in DISTRICT_DIVISION if d in present]
     for district in districts:
         if DISTRICT_TO_DIVISION[district] != division:
             continue
@@ -157,7 +94,7 @@ def write_division_files(path: str) -> list[str]:
     likewise alternate struct vs plain-string form."""
     os.makedirs(path, exist_ok=True)
     files = []
-    divisions = sorted({DISTRICT_TO_DIVISION[d] for d, _, _ in _DISTRICT_PLAN})
+    divisions = sorted({dv for _, _, dv, _ in UPAZILAS})
     for i, division in enumerate(divisions):
         tree = _division_tree(division)
         if i % 2 == 0:
@@ -180,16 +117,13 @@ def write_postal_db(path: str) -> str:
     """S4: serialize the postal-code DB in the reference's JSON shape
     ``{"postal_codes": [{"code", "district", "postOffice"}, ...]}``
     (loader at bangladesh_geo_offline.py:175-200; real file is 1,226
-    rows — this synthetic twin carries the gazetteer rows plus one
-    TSO entry per upazila, same schema)."""
-    from .gazetteer import POSTAL_CODES
+    rows — this synthetic twin is the full 1,226-row dims.POSTAL_CODES,
+    which already carries one TSO entry per upazila, same schema)."""
+    from .dims import POSTAL_CODES
 
     os.makedirs(path, exist_ok=True)
     entries = [
         {"code": c, "district": d, "postOffice": po} for c, d, po in POSTAL_CODES
-    ] + [
-        {"code": c, "district": d, "postOffice": f"{n} TSO"}
-        for n, d, _dv, c in UPAZILAS
     ]
     fp = os.path.join(path, "bd-postal-codes.json")
     with open(fp, "w", encoding="utf-8") as f:

@@ -791,18 +791,39 @@ def predict_postal(wide: DataFrame, id_col: str = "mention_id") -> DataFrame:
     c3 = cand(has_area, vg, F.col("k"), F.col("d"), F.col("c"), 3, 0.85, "village_match")
     c4 = cand(has_area, po, F.col("k"), F.col("d"), F.col("c"), 4, 0.80, "post_office_match")
 
-    # priority 5: containment either way vs the post-office index — a
-    # broadcast nested-loop over a dimension of O(1k) rows, applied only
-    # to the missing-postal subset (the reference scans the same index
-    # per address; ``:307-318``)
+    # priority 5: containment either way vs the post-office index
+    # (reference scans the same index per address; ``:307-318``).
+    # Bounded — NOT a nested loop: if x is a substring of y, x's leading
+    # min(len(x),2)-gram is necessarily one of y's 1/2-grams, so an
+    # equi-join on that gram is a sound prefilter and containment stays
+    # as the residual predicate. Per-mention work is O(len(area)) probe
+    # rows against a ~|dim|·len(name) broadcast gram index instead of
+    # O(|dim|) string scans — flat in dim size at the 1,226-row
+    # reference density and beyond.
+    def _grams(col: str):
+        return F.array_distinct(F.concat(
+            F.expr(f"transform(sequence(1, length({col})), i -> substr({col}, i, 1))"),
+            F.expr(
+                f"transform(sequence(1, greatest(length({col}) - 1, 1)),"
+                f" i -> substr({col}, i, 2))"),
+        ))
+
+    po_grams = po.select("k", "d", "c", F.explode(_grams("k")).alias("g"))
+    lead = has_area.withColumn("lead", F.substring("akey", 1, 2))
+    dir_a = lead.join(  # akey ⊆ k
+        F.broadcast(po_grams), F.col("lead") == F.col("g"), "inner"
+    ).where(F.col("k").contains(F.col("akey")))
+    m_grams = has_area.select(
+        "mention_id", "akey", "dkey", F.explode(_grams("akey")).alias("g"))
+    po_lead = po.select("k", "d", "c", F.substring("k", 1, 2).alias("kf"))
+    dir_b = m_grams.join(  # k ⊆ akey
+        F.broadcast(po_lead), F.col("g") == F.col("kf"), "inner"
+    ).where(F.col("akey").contains(F.col("k")) & (F.col("akey") != F.col("k")))
+    cols5 = ["mention_id", "akey", "dkey", "k", "d", "c"]
     c5 = (
-        has_area.join(
-            F.broadcast(po),
-            (F.col("akey").contains(F.col("k")) | F.col("k").contains(F.col("akey")))
-            & ((F.col("dkey") == "") | (F.col("dkey") == F.lower(F.col("d"))))
-            & (F.col("c") != ""),
-            "inner",
-        )
+        dir_a.select(*cols5).unionByName(dir_b.select(*cols5))
+        .where(((F.col("dkey") == "") | (F.col("dkey") == F.lower(F.col("d"))))
+               & (F.col("c") != ""))
         .select(
             "mention_id", F.col("c").alias("code"),
             F.lit(0.70).alias("confidence"), F.lit("fuzzy_area_match").alias("source"),

@@ -53,9 +53,13 @@ _MISSPELL = {
 # list still backs the extraction gazetteer. The separability margin
 # (max cross-entity score ≤ 0.80 < 0.85 threshold) is asserted
 # exhaustively in tests with the pure-Python oracle.
+# Pinned to the CURATED rows: the fact-side corpus must stay separable
+# and round-comparable while the dimension tables scale to reference
+# density (dims.AREAS adds near-identical synthetic names by design —
+# they are dim-side collision fodder, not labeled entities).
 _seen: set[str] = set()
 SYNTH_AREAS: list[tuple[str, str, str]] = [
-    t for t in gz.AREAS if not (t[2] in _seen or _seen.add(t[2]))
+    t for t in gz.CURATED_AREAS if not (t[2] in _seen or _seen.add(t[2]))
 ]
 
 

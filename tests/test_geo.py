@@ -30,8 +30,10 @@ def test_geo_json_roundtrip(spark, tmp_path):
 def test_geo_invariants():
     from ai_bangladesh_address_parser_spark.data.gazetteer import DISTRICT_TO_DIVISION
 
-    # 50 plan upazilas + 4 satellite "<district> Sadar" upazilas
-    assert len(gh.UPAZILAS) == 54 and len(gh.UNIONS) == 150 and len(gh.VILLAGES) == 100
+    # reference density (bangladesh_geo_offline.py:58-200): 598 upazilas /
+    # 3,215 unions / 2,974 villages, toy rows preserved as a prefix
+    assert len(gh.UPAZILAS) == 598 and len(gh.UNIONS) == 3215 and len(gh.VILLAGES) == 2974
+    assert gh.UPAZILAS[0] == ("Savar", "Dhaka", "Dhaka", "1340")
     codes = [c for _, _, _, c in gh.UPAZILAS]
     assert len(codes) == len(set(codes)), "postal codes unique per upazila"
     for _, d, dv, _ in gh.UPAZILAS:
@@ -126,12 +128,12 @@ def test_positional_postal_regex_occurrence(spark):
 
 def test_postal_db_roundtrip(spark, tmp_path):
     """S4: the reference-shaped postal-code DB JSON loads back to the
-    flat dim (gazetteer rows + one TSO entry per upazila)."""
+    flat 1,226-row dim (curated rows + TSO/SO office entries)."""
     from ai_bangladesh_address_parser_spark.data.gazetteer import POSTAL_CODES
 
     fp = gh.write_postal_db(str(tmp_path))
     df = gh.load_postal_db(spark, fp)
     rows = {tuple(r) for r in df.collect()}
-    assert len(rows) == len(POSTAL_CODES) + len(gh.UPAZILAS)
+    assert len(rows) == len(POSTAL_CODES) == 1226
     assert ("1212", "Dhaka", "Gulshan") in rows
     assert ("1340", "Dhaka", "Savar TSO") in rows
