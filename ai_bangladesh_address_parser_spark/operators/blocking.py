@@ -110,6 +110,7 @@ def blocking_keys(
     house_col: str = "house_number",
     area_col: str = "area",
     use_minhash: bool = True,
+    band_gate=None,
 ) -> DataFrame:
     """→ (mention_id, block_key), one row per key the mention blocks on.
 
@@ -183,6 +184,12 @@ def blocking_keys(
         mh_in = mentions
         if postal_col and postal_col in have:
             mh_in = mentions.filter(~nonempty(postal_col))
+        if band_gate is not None:
+            # address-likelihood gate (functions/signal.py): zero-signal
+            # mentions carry no extractable structure, so banding them
+            # only mass-pairs prose pages — they keep any component keys
+            # above (vacuously none) and stay singletons downstream
+            mh_in = mh_in.filter(band_gate)
         out = out.unionByName(
             minhash_band_keys(mh_in, id_col=id_col, text_col=text_col)
         ).distinct()

@@ -23,6 +23,8 @@ instead (resumability path, see plans.checkpoint).
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -72,12 +74,15 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    stats: list | None = None,
 ) -> DataFrame:
     """→ (node, component) where component = min node id in the
     component, for every node appearing in ``edges``.
 
     Converges in O(log n) rounds on real graphs; address-duplicate
-    clusters (diameter ≤ ~8) converge in 2-4 rounds.
+    clusters (diameter ≤ ~8) converge in 2-4 rounds. Pass ``stats=[]``
+    to collect per-round convergence metrics (round, edge count,
+    seconds) — the scale-evidence hook used by ``bench.py --cc-scale``.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -86,9 +91,13 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sig = None
-    for _ in range(max_iter):
+    for i in range(max_iter):
+        t0 = time.time()
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         sig = _signature(e)
+        if stats is not None:
+            stats.append({"round": i + 1, "edges": sig[0],
+                          "seconds": round(time.time() - t0, 2)})
         if sig == prev_sig:
             break
         prev_sig = sig

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.normalize import norm_key_expr, normalize_expr
+from ..functions.signal import address_signal_expr
 
 # Mention harvesting: pull the address-looking spans out of the page
 # text. Anchored on the address-start keywords the reference's pattern
@@ -62,23 +63,70 @@ from ..operators.scoring import attach_pair_components, score_pairs
 from ..reference_semantics import ALL_COMPONENTS
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff an Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
 @dataclass
 class StageStore:
     """Materialization + resume for stage boundaries.
 
     ``base`` None → no materialization (pure lazy plan). Otherwise each
     stage lives at ``<base>/<stage>`` and is reused when present and
-    ``resume`` is set. Iceberg mapping: replace save/load with
-    ``writeTo(f"{catalog}.{job}.{stage}").createOrReplace()`` — the
-    per-stage snapshot id then *is* the checkpoint token.
+    ``resume`` is set.
+
+    ``catalog`` (wins over ``base``) names a configured Iceberg catalog:
+    each stage is written with
+    ``writeTo(f"{catalog}.{job_id}.{stage}").createOrReplace()`` and the
+    committed snapshot id — the durable checkpoint token — is recorded
+    in ``snapshots``. ``resume`` then means "reuse the existing table",
+    i.e. restart from the last complete snapshot; a cluster deployment
+    only has to point ``catalog`` at its production catalog. The test
+    suite smoke-runs this branch whenever an Iceberg runtime is present
+    (``iceberg_available``) and skips cleanly otherwise.
     """
 
     base: str | None = None
     resume: bool = True
     job_id: str = "job0"
+    catalog: str | None = None
     saved: list[str] = field(default_factory=list)
+    snapshots: dict[str, int] = field(default_factory=dict)
+
+    _LINEAGE = ("_job_id", "_stage", "_partition_id")
+
+    def _with_lineage(self, stage: str, df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_job_id", F.lit(self.job_id))
+            .withColumn("_stage", F.lit(stage))
+            .withColumn("_partition_id", F.spark_partition_id())
+        )
+
+    def _through_iceberg(self, spark: SparkSession, stage: str, df: DataFrame) -> DataFrame:
+        ident = f"{self.catalog}.{self.job_id}.{stage}"
+        if self.resume and spark.catalog.tableExists(ident):
+            return spark.table(ident).drop(*self._LINEAGE)
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.job_id}")
+        self._with_lineage(stage, df).writeTo(ident).createOrReplace()
+        self.saved.append(stage)
+        snap = spark.sql(
+            f"SELECT snapshot_id FROM {ident}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+        if snap is not None:
+            self.snapshots[stage] = snap["snapshot_id"]
+        return spark.table(ident).drop(*self._LINEAGE)
 
     def through(self, spark: SparkSession, stage: str, df: DataFrame) -> DataFrame:
+        if self.catalog is not None:
+            return self._through_iceberg(spark, stage, df)
         if self.base is None:
             # No checkpoint dir → still cut lineage with
             # localCheckpoint(): every stage output is consumed by
@@ -99,13 +147,10 @@ class StageStore:
         if self.resume and os.path.exists(marker):
             # drop lineage columns here too — a resumed run must expose
             # the same schema as a fresh one
-            return spark.read.parquet(path).drop("_job_id", "_stage", "_partition_id")
-        out = df.withColumn("_job_id", F.lit(self.job_id)).withColumn(
-            "_stage", F.lit(stage)
-        ).withColumn("_partition_id", F.spark_partition_id())
-        out.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path).drop(*self._LINEAGE)
+        self._with_lineage(stage, df).write.mode("overwrite").parquet(path)
         self.saved.append(stage)
-        return spark.read.parquet(path).drop("_job_id", "_stage", "_partition_id")
+        return spark.read.parquet(path).drop(*self._LINEAGE)
 
 
 class LinkagePlan:
@@ -130,6 +175,7 @@ class LinkagePlan:
         area_vocab: DataFrame | None = None,
         profile: str | None = None,
         stages: frozenset[str] | None = None,
+        gate: bool = True,
     ):
         from ..operators.extract import DEFAULT_STAGES, PROFILES
 
@@ -139,6 +185,12 @@ class LinkagePlan:
         self.store = store or StageStore(base=None)
         self.dedup_mentions = dedup_mentions
         self.use_minhash = use_minhash
+        # Address-likelihood gate (functions/signal.py): skip the deep
+        # extraction battery and minhash banding for mentions with zero
+        # cheap signal (no digit, no keyword, no vocab hit). Output is
+        # provably identical (gate-equivalence pytest); only the work
+        # for pure-prose pages disappears. Skip counts ride metrics().
+        self.gate = gate
         # D5 stage control: an explicit ``stages`` set wins; else a
         # named profile (fast/balanced/accurate/minimal, reference
         # tools/control_stages.py:45-69); else the default stage set.
@@ -163,6 +215,7 @@ class LinkagePlan:
         # candidate generation recognizes every labeled area
         self.area_vocab = area_vocab
         self.observations: dict[str, Observation] = {}
+        self.gate_stats: dict | None = None
 
     # -- S1 ---------------------------------------------------------------
     def extract(self, pages: DataFrame) -> DataFrame:
@@ -192,12 +245,26 @@ class LinkagePlan:
             # cut lineage before the evidence fan-out: the regex / vocab
             # / fuzzy branches each re-expand the normalize+dedup
             # subtree otherwise (measured 2× slower end-to-end)
-            uniq = (
-                keyed.select("norm_key", "normalized")
-                .dropDuplicates(["norm_key"])
-                .localCheckpoint(eager=False)
-            )
-            ev = extract_evidence(uniq, id_col="norm_key", text_col="normalized",
+            uniq = (keyed.select("norm_key", "normalized")
+                    .dropDuplicates(["norm_key"])
+                    .localCheckpoint(eager=False))
+            if self.gate:
+                # one scalar metrics aggregate over the (materialized-
+                # anyway) unique-mention checkpoint; Observation can't
+                # ride here — the CollectMetrics node executes during
+                # the untracked checkpoint materialization and reports
+                # empty metrics
+                sig = address_signal_expr("normalized")
+                stats = uniq.agg(
+                    F.count(F.lit(1)).alias("unique_mentions"),
+                    F.sum((~sig).cast("long")).alias("gate_skipped"),
+                ).first()
+                self.gate_stats = {
+                    "unique_mentions": stats["unique_mentions"],
+                    "gate_skipped": stats["gate_skipped"] or 0,
+                }
+            live = uniq.filter(address_signal_expr("normalized")) if self.gate else uniq
+            ev = extract_evidence(live, id_col="norm_key", text_col="normalized",
                                   gazetteer=self.gazetteer,
                                   area_vocab=self.area_vocab, stages=self.stages)
             wide_u = resolved_wide(resolve_evidence(ev))  # mention_id == norm_key
@@ -206,7 +273,9 @@ class LinkagePlan:
             )
         else:
             keyed = keyed.localCheckpoint(eager=False)
-            ev = extract_evidence(keyed, gazetteer=self.gazetteer,
+            live = (keyed.filter(address_signal_expr("normalized"))
+                    if self.gate else keyed)
+            ev = extract_evidence(live, gazetteer=self.gazetteer,
                                   area_vocab=self.area_vocab, stages=self.stages)
             wide = keyed.join(resolved_wide(resolve_evidence(ev)), "mention_id", "left")
         for c in ALL_COMPONENTS + ["overall_confidence"]:
@@ -237,6 +306,7 @@ class LinkagePlan:
             postal_col="postal_code",
             district_col="district",
             use_minhash=self.use_minhash,
+            band_gate=address_signal_expr("normalized") if self.gate else None,
         )
         keys = self.store.through(self.spark, "s2_block_keys", keys)
         return candidate_pairs(keys)
@@ -281,6 +351,8 @@ class LinkagePlan:
                 out[stage] = dict(ob.get)
             except Exception:
                 out[stage] = {}
+        if self.gate_stats is not None:
+            out["s1_gate"] = self.gate_stats
         return out
 
 

@@ -73,6 +73,7 @@ def synth_pages(
     n_pages: int = 4_000,
     n_entities: int = 1_000,
     n_partitions: int | None = None,
+    hot_postal_frac: float = 0.0,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (pages, truth) where pages matches ``PAGES_SCHEMA`` and truth is
     ``(url, truth_entity_id)``.
@@ -124,6 +125,15 @@ def synth_pages(
     area_mis = F.element_at(area_var_arr, F.col("ai") + 1)
     district = F.element_at(district_arr, F.col("ai") + 1)
     postal = F.element_at(postal_arr, F.col("ai") + 1)
+    if hot_postal_frac:
+        # skew knob (bench-only, default off): the chosen fraction of
+        # entities shares ONE postal code, concentrating that share of
+        # postal-bearing mentions into a single p:<postal> block. The
+        # (house, road) digit separability is untouched, so truth ids
+        # and the ≤0.80 cross-entity score margin still hold (postal+
+        # area+district+division weights sum to 0.80 < 0.85 threshold).
+        hot = (F.col("e") % 10) < int(round(hot_postal_frac * 10))
+        postal = F.when(hot, F.lit("1212")).otherwise(postal)
 
     addr = (
         F.when(F.col("v") == 0, F.concat(

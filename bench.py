@@ -213,6 +213,188 @@ def run_bench() -> dict:
     }
 
 
+# --- negatives-scaling mode --------------------------------------------------
+
+def run_negatives() -> dict:
+    """Evidence for the address-likelihood gate: fixed 6,000 address
+    pages + 5k/25k/50k DISTINCT prose negatives (each replica salted
+    with a digit-free suffix so exact-dup collapse cannot mask the
+    cost). Sub-linear s1+s2 growth in negatives, F1 unchanged, skip
+    counts recorded; one gate-off run at 10x for contrast.
+    """
+    from pyspark.sql import functions as F
+
+    from ai_bangladesh_address_parser_spark.plans.pipeline import LinkagePlan, pairwise_f1
+    from ai_bangladesh_address_parser_spark.sources.pages import synth_pages
+
+    spark = _spark(CPUS)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def corpus_with(mult: int):
+        pages, truth = synth_pages(spark, n_pages=6000, n_entities=270)
+        reps = docs.select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep"),
+        )
+        neg = reps.select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string"),
+                     F.lit("#"), F.col("rep").cast("string")).alias("url"),
+            F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+            F.encode("text", "UTF-8").alias("html"),
+            F.concat(
+                F.col("text"), F.lit(" "),
+                F.translate(F.col("rep").cast("string"),
+                            "0123456789", "abcdefghij"),
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        return pages.unionByName(neg), truth
+
+    def one(mult: int, gate: bool) -> dict:
+        corpus, truth = corpus_with(mult)
+        plan = LinkagePlan(spark, scorer="levenshtein", gate=gate)
+        t = time.time()
+        wide = plan.extract(corpus)
+        wide.count()
+        s1 = round(time.time() - t, 2)
+        t = time.time()
+        nodes = plan.unique_mentions(wide)
+        pairs = plan.block(nodes, id_col="norm_key").localCheckpoint(eager=True)
+        n_pairs = pairs.count()
+        s2 = round(time.time() - t, 2)
+        edges = plan.score(pairs, nodes, id_col="norm_key")
+        ents = plan.cluster(wide, edges, id_col="norm_key")
+        f1 = pairwise_f1(
+            ents.filter(~F.col("mention_id").startswith("doc://")), truth)
+        m = plan.metrics().get("s1_gate") or {}
+        return {"negatives": 5000 * mult, "gate": gate, "s1_sec": s1,
+                "s2_sec": s2, "candidate_pairs": n_pairs,
+                "f1": round(f1["f1"], 6), **m}
+
+    runs = [one(m, True) for m in (1, 5, 10)] + [one(10, False)]
+    g1, g10 = runs[0], runs[2]
+    growth = round((g10["s1_sec"] + g10["s2_sec"]) /
+                   max(g1["s1_sec"] + g1["s2_sec"], 1e-9), 3)
+    return {
+        "metric": "gate_negatives_scaling_s1s2_growth_at_10x",
+        "value": growth,
+        "unit": "ratio",
+        "runs": runs,
+        "note": "fixed 6k address pages; distinct prose negatives 5k->50k; "
+                "growth = gated (s1+s2) at 10x / at 1x (linear would be ~6.4 "
+                "given 11k base mentions); last run = gate off at 10x",
+    }
+
+
+# --- skew stress mode --------------------------------------------------------
+
+def run_skew() -> dict:
+    """Hot-block stress: one postal code carries 30% of entities (hence
+    ~30% of postal-bearing mentions — one p:1212 block of ~5.4k nodes at
+    mention level). Measures the salted self-join vs salting disabled on
+    identical keys (pair sets must be equal — salting is
+    pair-preserving), and the max_block cap's recall effect end-to-end.
+    """
+    from pyspark.sql import functions as F
+
+    from ai_bangladesh_address_parser_spark.operators.blocking import (
+        block_stats,
+        candidate_pairs,
+    )
+    from ai_bangladesh_address_parser_spark.plans.pipeline import LinkagePlan, pairwise_f1
+
+    spark = _spark(CPUS)
+    from ai_bangladesh_address_parser_spark.sources.pages import synth_pages
+
+    pages, truth = synth_pages(spark, n_pages=24000, n_entities=270,
+                               hot_postal_frac=0.3)
+    # MENTION level (not unique level): the hot block must be large
+    # enough to trip the salting path (> hot_cap=1000)
+    plan = LinkagePlan(spark, scorer="levenshtein", unique_level=False)
+    wide = plan.extract(pages)
+    from ai_bangladesh_address_parser_spark.operators.blocking import blocking_keys
+
+    keys = blocking_keys(wide).localCheckpoint(eager=True)
+    hot = (block_stats(keys).orderBy(F.col("block_size").desc()).limit(3)
+           .collect())
+    out: dict = {"top_blocks": [{"key": r["block_key"], "size": r["block_size"]}
+                                for r in hot]}
+
+    def timed_pairs(**kw):
+        t = time.time()
+        n = candidate_pairs(keys, **kw).count()
+        return n, round(time.time() - t, 2)
+
+    # warm both paths once (file listing, JIT), then measure
+    timed_pairs()
+    n_salted, t_salted = timed_pairs()
+    n_plain, t_plain = timed_pairs(hot_cap=2**60)
+    out["salted"] = {"pairs": n_salted, "seconds": t_salted}
+    out["unsalted"] = {"pairs": n_plain, "seconds": t_plain}
+    out["pair_preserving"] = n_salted == n_plain
+
+    def f1_with(max_block):
+        pairs = candidate_pairs(keys, max_block=max_block)
+        edges = plan.score(pairs, wide, id_col="mention_id")
+        ents = plan.cluster(wide, edges, id_col="mention_id")
+        return round(pairwise_f1(ents, truth)["f1"], 6)
+
+    out["f1_uncapped"] = f1_with(max_block=100_000)
+    out["f1_hot_block_dropped"] = f1_with(max_block=2_000)
+    return {
+        "metric": "skew_salted_vs_unsalted_seconds",
+        "value": t_salted,
+        "unit": "sec",
+        **out,
+        "note": "24k pages, 30% of entities on one postal; salting is "
+                "pair-preserving (counts equal); f1_hot_block_dropped shows "
+                "composite d:<sdx>:h:/a: keys recover pairs the dropped "
+                "p: block would have carried",
+    }
+
+
+# --- connected-components scale mode ----------------------------------------
+
+def run_cc_scale() -> dict:
+    """CC scale evidence: ~10.8M-edge skewed-degree graph — 156k chains
+    of length 64 (diameter stress: needs O(log 64) rounds) plus one hub
+    node with 1M neighbors (degree skew). Records rounds-to-convergence
+    and per-round time.
+    """
+    from pyspark.sql import functions as F
+
+    from ai_bangladesh_address_parser_spark.operators.cluster import (
+        connected_components,
+    )
+
+    spark = _spark(CPUS)
+    n = 10_000_000
+    chains = (spark.range(n).filter(F.col("id") % 64 != 63)
+              .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst")))
+    hub = spark.range(1_000_000).select(
+        F.lit(0).cast("long").alias("src"),
+        ((F.col("id") * 7919 + 13) % n).alias("dst"),
+    )
+    edges = chains.unionByName(hub)
+    n_edges = edges.count()
+    stats: list = []
+    t = time.time()
+    cc = connected_components(edges, stats=stats)
+    n_comp = cc.select("component").distinct().count()
+    total = round(time.time() - t, 2)
+    return {
+        "metric": "cc_rounds_to_convergence_10m_edges",
+        "value": len(stats),
+        "unit": "rounds",
+        "n_edges": n_edges,
+        "n_components": n_comp,
+        "total_seconds": total,
+        "rounds": stats,
+        "note": "156k length-64 chains + one 1M-degree hub; O(log n) "
+                "expectation: ~log2(64)+C rounds",
+    }
+
+
 # --- scaling mode ----------------------------------------------------------
 
 def prepare_scoring_input(spark, sf_dir: str, out_dir: str, n_pages: int = 16000) -> int:
@@ -275,7 +457,15 @@ def score_bench(cpus: int, pairs_dir: str) -> dict:
             "calib_hashes_per_sec": round(burn_n / burn_dt, 0)}
 
 
-def run_scaling() -> dict:
+def run_scaling(n_small: int = 8, n_big: int = 32, reps: int = 2) -> dict:
+    """North-rule two-cluster-size evidence: the scoring job at
+    local[n_small] vs local[n_big] (fresh JVM each) over identical
+    parquet input. ``reps`` interleaved repetitions per size; every raw
+    rep is reported alongside the best. The same-JVM pure-CPU
+    calibration job gives the box's own N→4N ceiling (turbo/memory-
+    bandwidth droop a multi-machine scale-up would not pay).
+    """
+    factor = n_big / n_small
     spark = _spark(CPUS)
     tmp = tempfile.mkdtemp(prefix="abap_scaling_")
     pairs_dir = os.path.join(tmp, "pairs")
@@ -283,37 +473,51 @@ def run_scaling() -> dict:
     spark.stop()
 
     results: dict[str, dict] = {}
-    for cpus in (8, 32, 8, 32):  # interleaved reps absorb host noise
+    raw: list[dict] = []
+    order = [c for _ in range(reps) for c in (n_small, n_big)]
+    for cpus in order:  # interleaved reps absorb host noise
         out = subprocess.run(
             [sys.executable, __file__, "--score-bench", str(cpus), pairs_dir],
             capture_output=True, text=True, timeout=3600,
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         r = json.loads(line)
+        raw.append(r)
         key = f"local[{cpus}]"
         if key not in results or r["pairs_per_sec"] > results[key]["pairs_per_sec"]:
             results[key] = r
 
-    thr8 = results["local[8]"]["pairs_per_sec"]
-    thr32 = results["local[32]"]["pairs_per_sec"]
-    eff = round(thr32 / thr8 / 4.0, 3)
+    thr_s = results[f"local[{n_small}]"]["pairs_per_sec"]
+    thr_b = results[f"local[{n_big}]"]["pairs_per_sec"]
+    eff = round(thr_b / thr_s / factor, 3)
     # hardware ceiling on the SAME box and JVMs: efficiency of a
     # trivially parallel pure-CPU job (turbo clocks drop as more cores
     # go active; a real N→4N *machine* scale-up keeps clocks constant)
     ceiling = round(
-        results["local[32]"]["calib_hashes_per_sec"]
-        / results["local[8]"]["calib_hashes_per_sec"] / 4.0, 3,
+        results[f"local[{n_big}]"]["calib_hashes_per_sec"]
+        / results[f"local[{n_small}]"]["calib_hashes_per_sec"] / factor, 3,
     )
+    # per-rep efficiency distribution (pair rep i small with rep i big)
+    per_rep = []
+    smalls = [r for r in raw if r["cpus"] == n_small]
+    bigs = [r for r in raw if r["cpus"] == n_big]
+    for rs, rb in zip(smalls, bigs):
+        e = round(rb["pairs_per_sec"] / rs["pairs_per_sec"] / factor, 3)
+        c = round(rb["calib_hashes_per_sec"] / rs["calib_hashes_per_sec"] / factor, 3)
+        per_rep.append({"raw_eff": e, "ceiling": c,
+                        "normalized": round(e / c, 3) if c else None})
     return {
-        "metric": "scoring_scaling_efficiency_8_to_32_cores",
+        "metric": f"scoring_scaling_efficiency_{n_small}_to_{n_big}_cores",
         "value": eff,
         "unit": "ratio",
         "pairs": n,
         "runs": results,
+        "raw_reps": raw,
+        "per_rep_efficiency": per_rep,
         "hardware_ceiling_efficiency": ceiling,
         "normalized_efficiency": round(eff / ceiling, 3) if ceiling else None,
-        "note": "strong scaling, identical input, fresh JVM per size, "
-                "best of 2 interleaved reps; ceiling = same-box trivially "
+        "note": f"strong scaling, identical input, fresh JVM per size, best "
+                f"of {reps} interleaved reps; ceiling = same-box trivially "
                 "parallel pure-CPU job (turbo-frequency effect)",
     }
 
@@ -322,6 +526,13 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--score-bench":
         print(json.dumps(score_bench(int(sys.argv[2]), sys.argv[3])))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
-        print(json.dumps(run_scaling()))
+        a = [int(x) for x in sys.argv[2:5]]
+        print(json.dumps(run_scaling(*a)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--negatives":
+        print(json.dumps(run_negatives()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        print(json.dumps(run_skew()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cc-scale":
+        print(json.dumps(run_cc_scale()))
     else:
         print(json.dumps(run_bench()))

@@ -85,7 +85,13 @@ def canon(component: str, v: str | None) -> str:
     return v
 
 
-def evaluate(records=None, show_miss: str | None = None) -> dict:
+def evaluate(records=None, show_miss: str | None = None,
+             vocab_records=None) -> dict:
+    """Score ``records``; the batch gazetteer/area vocabulary is built
+    from ``vocab_records`` (defaults to the scored records — the
+    reference's own batch lifecycle, hence in-sample). Pass a disjoint
+    ``vocab_records`` for a held-out generalization figure
+    (``--held-out``)."""
     from pyspark.sql import functions as F
 
     from ai_bangladesh_address_parser_spark.functions.normalize import normalize_expr
@@ -114,7 +120,7 @@ def evaluate(records=None, show_miss: str | None = None) -> dict:
     lab = spark.createDataFrame(
         [(r["components"].get("area") or "", r["components"].get("district") or "",
           r["components"].get("division") or "", r["components"].get("postal_code") or "")
-         for r in records],
+         for r in (vocab_records if vocab_records is not None else records)],
         "area string, district string, division string, postal_code string",
     ).withColumn("area", normalize_expr(SF.col("area")))
     gazetteer = build_gazetteer(lab)
@@ -152,4 +158,12 @@ if __name__ == "__main__":
     show = None
     if "--show-miss" in sys.argv:
         show = sys.argv[sys.argv.index("--show-miss") + 1]
-    print(json.dumps(evaluate(show_miss=show), indent=1))
+    if "--held-out" in sys.argv:
+        # generalization split: vocab from the even records, score the
+        # odd ones (disjoint halves of the fixture)
+        recs = json.load(open(GOLDEN))
+        print(json.dumps(
+            evaluate(records=recs[1::2], vocab_records=recs[::2],
+                     show_miss=show), indent=1))
+    else:
+        print(json.dumps(evaluate(show_miss=show), indent=1))
