@@ -326,12 +326,29 @@ def run_skew() -> dict:
         return n, round(time.time() - t, 2)
 
     # warm both paths once (file listing, JIT), then measure
+    # (salted / unsalted) x (AQE on / off), best of 2 interleaved reps.
+    # AQE-off matters: adaptive skew-join splitting can absorb the hot
+    # block in local mode, hiding what explicit salting buys a plain
+    # sort-merge join (or any engine/config without runtime skew
+    # handling); reporting both isolates the two mechanisms.
     timed_pairs()
-    n_salted, t_salted = timed_pairs()
-    n_plain, t_plain = timed_pairs(hot_cap=2**60)
-    out["salted"] = {"pairs": n_salted, "seconds": t_salted}
-    out["unsalted"] = {"pairs": n_plain, "seconds": t_plain}
-    out["pair_preserving"] = n_salted == n_plain
+    for aqe in ("true", "false"):
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        mode = "aqe_on" if aqe == "true" else "aqe_off"
+        best: dict = {}
+        for _ in range(2):
+            for name, kw in (("salted", {}), ("unsalted", {"hot_cap": 2**60})):
+                n, dt = timed_pairs(**kw)
+                cur = best.get(name)
+                if cur is None or dt < cur["seconds"]:
+                    best[name] = {"pairs": n, "seconds": dt}
+        out[mode] = best
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    out["pair_preserving"] = (
+        out["aqe_on"]["salted"]["pairs"] == out["aqe_on"]["unsalted"]["pairs"]
+        and out["aqe_off"]["salted"]["pairs"] == out["aqe_off"]["unsalted"]["pairs"]
+    )
+    t_salted = out["aqe_on"]["salted"]["seconds"]
 
     def f1_with(max_block):
         pairs = candidate_pairs(keys, max_block=max_block)
@@ -347,9 +364,11 @@ def run_skew() -> dict:
         "unit": "sec",
         **out,
         "note": "24k pages, 30% of entities on one postal; salting is "
-                "pair-preserving (counts equal); f1_hot_block_dropped shows "
-                "composite d:<sdx>:h:/a: keys recover pairs the dropped "
-                "p: block would have carried",
+                "pair-preserving (counts equal under both AQE modes); "
+                "aqe_off isolates what salting buys without runtime "
+                "skew-join splitting; f1_hot_block_dropped shows composite "
+                "d:<sdx>:h:/a: keys recover pairs the dropped p: block "
+                "would have carried",
     }
 
 
@@ -375,7 +394,14 @@ def run_cc_scale() -> dict:
         F.lit(0).cast("long").alias("src"),
         ((F.col("id") * 7919 + 13) % n).alias("dst"),
     )
-    edges = chains.unionByName(hub)
+    # Materialize the synthetic graph: the raw union-of-ranges plan
+    # (range filters + a lit(0) hub src) trips a Catalyst Union
+    # constraint-rewrite bug ("key not found: dst#...") when CC's
+    # iterative plans are analyzed on top of it; a parquet round-trip
+    # gives CC the same clean scan a real edge table would.
+    tmp = tempfile.mkdtemp(prefix="abap_cc_")
+    chains.unionByName(hub).write.mode("overwrite").parquet(tmp)
+    edges = spark.read.parquet(tmp)
     n_edges = edges.count()
     stats: list = []
     t = time.time()
