@@ -354,7 +354,8 @@ def run_skew() -> dict:
         pairs = candidate_pairs(keys, max_block=max_block)
         edges = plan.score(pairs, wide, id_col="mention_id")
         ents = plan.cluster(wide, edges, id_col="mention_id")
-        return round(pairwise_f1(ents, truth)["f1"], 6)
+        m = pairwise_f1(ents, truth)
+        return {k: round(m[k], 6) for k in ("f1", "precision", "recall")}
 
     out["f1_uncapped"] = f1_with(max_block=100_000)
     out["f1_hot_block_dropped"] = f1_with(max_block=2_000)
