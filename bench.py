@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -424,14 +425,25 @@ def run_cc_scale() -> dict:
 
 # --- scaling mode ----------------------------------------------------------
 
-def prepare_scoring_input(spark, sf_dir: str, out_dir: str, n_pages: int = 16000) -> int:
+def prepare_scoring_input(
+    spark, sf_dir: str, out_dir: str, n_pages: int = 16000,
+    target_pairs: int = 75_000_000,
+) -> int:
     """Materialize the scored-pair input (pair ids + both sides'
     components) once; the child runs only the scoring job over it.
 
     Blocking here runs at MENTION level (not unique level) — the
-    scaling bench measures scorer throughput and needs ~10M pairs so
-    the 4N run amortizes fixed job overhead; composite district keys
-    cut pair volume 4x vs round 1, hence the larger page count."""
+    scaling bench measures scorer throughput. The organic pair set is
+    replicated (crossJoin with a broadcast range) up to
+    ``target_pairs`` so the wide config's timed region is tens of
+    seconds, not ~2 s: the round-2 equality-short-circuit sped the
+    scorer ~20x and left fixed job overhead (stage launch, file
+    listing) dominating a ~10M-pair kernel, which understates
+    efficiency at 4N. Replication preserves per-pair characteristics
+    (string lengths, equal-component fraction) exactly, and matches
+    scale linearly — a deterministic cross-size invariant."""
+    from pyspark.sql import functions as F
+
     from ai_bangladesh_address_parser_spark.operators.scoring import attach_pair_components
     from ai_bangladesh_address_parser_spark.plans.pipeline import LinkagePlan
     from ai_bangladesh_address_parser_spark.sources.pages import synth_pages
@@ -441,7 +453,20 @@ def prepare_scoring_input(spark, sf_dir: str, out_dir: str, n_pages: int = 16000
     wide = plan.extract(pages)
     pairs = plan.block(wide)
     ready = attach_pair_components(pairs, wide)
-    ready.write.mode("overwrite").parquet(out_dir)
+    base_dir = out_dir + "_base"
+    ready.write.mode("overwrite").parquet(base_dir)
+    base = spark.read.parquet(base_dir)
+    n_base = base.count()
+    k = max(1, round(target_pairs / max(n_base, 1)))
+    if k > 1:
+        rep = F.broadcast(spark.range(k).select(F.col("id").alias("_rep")))
+        final = base.crossJoin(rep)
+    else:
+        final = base
+    # 256 output files: at local[32] the timed scan gets >=8 task waves
+    # (a 32-file input would hand local[32] exactly one task per core —
+    # zero pipelining, straggler-bound, biased AGAINST the wide config)
+    final.repartition(256).write.mode("overwrite").parquet(out_dir)
     return spark.read.parquet(out_dir).count()
 
 
@@ -460,6 +485,49 @@ def score_bench(cpus: int, pairs_dir: str) -> dict:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     pairs = spark.read.parquet(pairs_dir)
     n = pairs.count()  # warm: JVM up, file listing done, pages in page cache
+    # same-JVM calibrations FIRST (quiet heap, before the scoring job
+    # fills it): three trivially parallel jobs measuring what THIS box
+    # actually gives `cpus` threads, one per candidate bottleneck
+    # resource. A real N -> 4N *machine* scale-up multiplies every
+    # resource by 4 (cores, memory bandwidth, disks); a same-box
+    # local[N] -> local[4N] comparison multiplies only threads, so the
+    # ceiling of whichever resource the job leans on bounds achievable
+    # same-box efficiency. The box has 32 full cores (no SMT) pinned at
+    # 2.1 GHz, so sub-1.0 ceilings here are hypervisor steal and shared
+    # memory bandwidth, not turbo droop.
+    # (1) pure-CPU, register-resident: integer hash chain
+    burn_n = 4_000_000_000 * cpus
+    b = spark.range(0, burn_n, 1, cpus * 8).select(F.xxhash64("id").alias("h"))
+    b.agg(F.bit_xor("h")).collect()  # warm
+    t2 = time.time()
+    b.agg(F.bit_xor("h")).collect()
+    burn_dt = time.time() - t2
+    # (2) pure-FP, register-resident: 32 chained multiply-adds per row
+    # (memory-bandwidth-light by construction: one long per row of
+    # traffic, 32 dependent FLOPs of work)
+    fma_rows = 40_000_000 * cpus
+    x = F.col("id").cast("double")
+    for _ in range(32):
+        x = x * 1.0000001 + 1.1
+    fb = spark.range(0, fma_rows, 1, cpus * 8).select(x.alias("x"))
+    fb.agg(F.sum("x")).collect()  # warm
+    t3 = time.time()
+    fb.agg(F.sum("x")).collect()
+    fma_dt = time.time() - t3
+    # (3) memory/decode-bound: scan+decompress the SAME columns the
+    # scorer reads, minimal compute (sum of lengths) — the parquet-
+    # decode bandwidth ceiling of this box
+    from ai_bangladesh_address_parser_spark.reference_semantics import ALL_COMPONENTS
+    scan_cols = [c + s for c in ALL_COMPONENTS for s in ("_a", "_b")]
+    scan_expr = sum(F.coalesce(F.length(F.col(c)), F.lit(0)) for c in scan_cols)
+    sb = pairs.select(scan_expr.alias("nbytes"))
+    sb.agg(F.sum("nbytes")).collect()  # warm
+    scan_dt = float("inf")
+    for _ in range(3):
+        t4 = time.time()
+        sb.agg(F.sum("nbytes")).collect()
+        scan_dt = min(scan_dt, time.time() - t4)
+    # the measured job: candidate-pairs scored/sec (BASELINE metric)
     scored = score_pairs(pairs, scorer="levenshtein")
     scored.filter(F.col("is_match")).count()  # warm: JIT-compile codegen
     # best-of-3 in-JVM: a single measurement carries scheduler/host
@@ -469,43 +537,59 @@ def score_bench(cpus: int, pairs_dir: str) -> dict:
         t = time.time()
         n_match = scored.filter(F.col("is_match")).count()
         dt = min(dt, time.time() - t)
-    # same-JVM calibration: a trivially parallel pure-CPU job measuring
-    # what THIS box actually gives `cpus` threads (captures the
-    # turbo-frequency and host-contention ceiling that a real N→4N
-    # *machine* scale-up would not have)
-    burn_n = 5_000_000_000 * cpus
-    b = spark.range(0, burn_n, 1, cpus * 8).select(F.xxhash64("id").alias("h"))
-    b.agg(F.bit_xor("h")).collect()  # warm
-    t2 = time.time()
-    b.agg(F.bit_xor("h")).collect()
-    burn_dt = time.time() - t2
     return {"cpus": cpus, "pairs": n, "matches": n_match,
             "seconds": round(dt, 2), "pairs_per_sec": round(n / dt, 1),
-            "calib_hashes_per_sec": round(burn_n / burn_dt, 0)}
+            "calib_hashes_per_sec": round(burn_n / burn_dt, 0),
+            "calib_fma_rows_per_sec": round(fma_rows / fma_dt, 0),
+            "calib_scan_rows_per_sec": round(n / scan_dt, 1)}
 
 
-def run_scaling(n_small: int = 8, n_big: int = 32, reps: int = 2) -> dict:
+_CALIBS = {
+    "cpu_hash": "calib_hashes_per_sec",
+    "fp_fma": "calib_fma_rows_per_sec",
+    "parquet_scan": "calib_scan_rows_per_sec",
+}
+
+
+def run_scaling(
+    n_small: int = 8, n_big: int = 32, reps: int = 3,
+    target_pairs: int = 75_000_000,
+) -> dict:
     """North-rule two-cluster-size evidence: the scoring job at
     local[n_small] vs local[n_big] (fresh JVM each) over identical
     parquet input. ``reps`` interleaved repetitions per size; every raw
-    rep is reported alongside the best. The same-JVM pure-CPU
-    calibration job gives the box's own N→4N ceiling (turbo/memory-
-    bandwidth droop a multi-machine scale-up would not pay).
+    rep is reported alongside the best. Three same-JVM calibration jobs
+    give the box's own N→4N ceiling per resource (cores, FP units,
+    parquet-decode bandwidth) — a real N→4N *machine* scale-up
+    multiplies all of them by 4, a same-box thread scale-up doesn't.
     """
     factor = n_big / n_small
     spark = _spark(CPUS)
-    tmp = tempfile.mkdtemp(prefix="abap_scaling_")
-    pairs_dir = os.path.join(tmp, "pairs")
-    n = prepare_scoring_input(spark, SF_DIR, pairs_dir)
+    cache_dir = os.environ.get("ABAP_SCALING_PAIRS_DIR")
+    pairs_dir = cache_dir or os.path.join(
+        tempfile.mkdtemp(prefix="abap_scaling_"), "pairs"
+    )
+    if cache_dir and os.path.exists(os.path.join(pairs_dir, "_SUCCESS")):
+        n = spark.read.parquet(pairs_dir).count()  # reuse across pairings
+    else:
+        n = prepare_scoring_input(spark, SF_DIR, pairs_dir, target_pairs=target_pairs)
     spark.stop()
 
     results: dict[str, dict] = {}
     raw: list[dict] = []
     order = [c for _ in range(reps) for c in (n_small, n_big)]
+    pin = shutil.which("taskset") is not None
     for cpus in order:  # interleaved reps absorb host noise
+        # Pin each child to exactly its core budget: a real N-core
+        # executor host runs Spark tasks, GC threads, and the OS on
+        # those same N cores. Unpinned, the narrow config borrows the
+        # box's idle cores for GC/IO and its baseline is inflated,
+        # understating N->4N efficiency.
+        cmd = [sys.executable, __file__, "--score-bench", str(cpus), pairs_dir]
+        if pin and cpus < os.cpu_count():
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, __file__, "--score-bench", str(cpus), pairs_dir],
-            capture_output=True, text=True, timeout=3600,
+            cmd, capture_output=True, text=True, timeout=3600,
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         r = json.loads(line)
@@ -514,25 +598,25 @@ def run_scaling(n_small: int = 8, n_big: int = 32, reps: int = 2) -> dict:
         if key not in results or r["pairs_per_sec"] > results[key]["pairs_per_sec"]:
             results[key] = r
 
-    thr_s = results[f"local[{n_small}]"]["pairs_per_sec"]
-    thr_b = results[f"local[{n_big}]"]["pairs_per_sec"]
-    eff = round(thr_b / thr_s / factor, 3)
-    # hardware ceiling on the SAME box and JVMs: efficiency of a
-    # trivially parallel pure-CPU job (turbo clocks drop as more cores
-    # go active; a real N→4N *machine* scale-up keeps clocks constant)
-    ceiling = round(
-        results[f"local[{n_big}]"]["calib_hashes_per_sec"]
-        / results[f"local[{n_small}]"]["calib_hashes_per_sec"] / factor, 3,
-    )
+    def _ratio(rb: dict, rs: dict, field: str) -> float | None:
+        if field not in rb or field not in rs or not rs[field]:
+            return None
+        return round(rb[field] / rs[field] / factor, 3)
+
+    rs_best = results[f"local[{n_small}]"]
+    rb_best = results[f"local[{n_big}]"]
+    eff = _ratio(rb_best, rs_best, "pairs_per_sec")
+    ceilings = {name: _ratio(rb_best, rs_best, field) for name, field in _CALIBS.items()}
     # per-rep efficiency distribution (pair rep i small with rep i big)
     per_rep = []
     smalls = [r for r in raw if r["cpus"] == n_small]
     bigs = [r for r in raw if r["cpus"] == n_big]
     for rs, rb in zip(smalls, bigs):
-        e = round(rb["pairs_per_sec"] / rs["pairs_per_sec"] / factor, 3)
-        c = round(rb["calib_hashes_per_sec"] / rs["calib_hashes_per_sec"] / factor, 3)
-        per_rep.append({"raw_eff": e, "ceiling": c,
-                        "normalized": round(e / c, 3) if c else None})
+        e = _ratio(rb, rs, "pairs_per_sec")
+        cs = {name: _ratio(rb, rs, field) for name, field in _CALIBS.items()}
+        per_rep.append({"raw_eff": e, "ceilings": cs,
+                        "normalized_cpu": round(e / cs["cpu_hash"], 3)
+                        if cs.get("cpu_hash") else None})
     return {
         "metric": f"scoring_scaling_efficiency_{n_small}_to_{n_big}_cores",
         "value": eff,
@@ -541,11 +625,14 @@ def run_scaling(n_small: int = 8, n_big: int = 32, reps: int = 2) -> dict:
         "runs": results,
         "raw_reps": raw,
         "per_rep_efficiency": per_rep,
-        "hardware_ceiling_efficiency": ceiling,
-        "normalized_efficiency": round(eff / ceiling, 3) if ceiling else None,
+        "hardware_ceilings": ceilings,
+        "normalized_efficiency": {
+            name: (round(eff / c, 3) if c else None) for name, c in ceilings.items()
+        },
         "note": f"strong scaling, identical input, fresh JVM per size, best "
-                f"of {reps} interleaved reps; ceiling = same-box trivially "
-                "parallel pure-CPU job (turbo-frequency effect)",
+                f"of {reps} interleaved reps; ceilings = same-box trivially "
+                "parallel jobs per resource (cpu hash / fp fma / parquet "
+                "column scan); box is 32 full cores, no SMT, pinned 2.1 GHz",
     }
 
 
@@ -553,7 +640,7 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--score-bench":
         print(json.dumps(score_bench(int(sys.argv[2]), sys.argv[3])))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
-        a = [int(x) for x in sys.argv[2:5]]
+        a = [int(x) for x in sys.argv[2:6]]
         print(json.dumps(run_scaling(*a)))
     elif len(sys.argv) > 1 and sys.argv[1] == "--negatives":
         print(json.dumps(run_negatives()))
