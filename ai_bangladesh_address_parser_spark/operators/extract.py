@@ -602,7 +602,13 @@ def fuzzy_area_evidence(
         area_ev.join(known_names, "k", "left_anti")
         .join(area_ev.join(known_names, "k").select("mention_id").distinct(),
               "mention_id", "left_anti")  # mentions with any known value keep it
-        .select("mention_id", F.col("k").alias("key"))
+        # per-WORD matching, not whole-value: the reference's
+        # _fuzzy_match_area takes a words list (gazetteer.py:321-325) —
+        # a multi-word unknown like "new eskaton" must NOT fuzzy-match
+        # "new netrokona sadar" on the shared "new " prefix + pooled
+        # charset (each word individually fails the reference's
+        # core/charset tests, so the whole value survives uncorrected)
+        .select("mention_id", F.explode(F.split("k", r"\s+")).alias("key"))
     )
     toks = _token_candidates(no_area, "mention_id", text_col).select(
         "mention_id", F.col("key")
@@ -630,14 +636,22 @@ def fuzzy_area_evidence(
     chars = lambda c: F.array_distinct(F.filter(F.split(c, ""), lambda x: x != ""))  # noqa: E731
     jac = F.size(F.array_intersect(chars(F.col("key")), chars(F.col("area_lc")))) / \
         F.size(F.array_union(chars(F.col("key")), chars(F.col("area_lc")))).cast("double")
+    # ONE best area per mention — the reference keeps a single
+    # best_match across its strategy loop (gazetteer.py:244-320,
+    # score `>` comparisons), never a candidate set. Best = highest
+    # charset-Jaccard, ties broken lexicographically (the reference's
+    # dict-insertion order is not reproducible; lexicographic is the
+    # deterministic stand-in).
     return (
         cand.filter(jac >= min_charset_jaccard)
-        .groupBy("mention_id", "area")
-        .agg(F.count(F.lit(1)))
+        .withColumn("jac", jac)
+        .groupBy("mention_id")
+        .agg(F.min_by("area", F.struct((-F.col("jac")).alias("nj"),
+                                       F.col("area"))).alias("value"))
         .select(
             "mention_id",
             F.lit("area").alias("component"),
-            F.col("area").alias("value"),
+            "value",
             F.lit(0.75).alias("confidence"),
             F.lit("gazetteer_corrected").alias("source"),
         )
