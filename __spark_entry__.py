@@ -486,6 +486,43 @@ def q_j2_position_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     return position_area_evidence(mentions, ev)
 
 
+def q_j9_fuzzy_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 strategies 2-3: fuzzy area back-extraction (no-area mentions:
+    token scan, 4/3-char prefix key + charset-Jaccard ≥ 0.7) and
+    unknown-value correction (per-WORD matching, single best area per
+    mention — gazetteer.py:244-377). Seven deterministic gate cases:
+    back-extraction hit, known value kept, unknown value where every
+    word fails (survives uncorrected), multi-word part match,
+    charset-tie broken lexicographically, variant-known value kept,
+    and per-word correction success."""
+    from ai_bangladesh_address_parser_spark.operators.extract import (
+        fuzzy_area_evidence,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    txt = F.array(
+        F.lit("house 5, gulshen, dhaka"),            # 0: back-extraction
+        F.lit("road 2, uttara, dhaka"),              # 1: known ev → kept
+        F.lit("banani road, dhaka"),                 # 2: unknown ev, no word corrects
+        F.lit("netrakona sadar bazar, mymensingh"),  # 3: multi-word part match
+        F.lit("dhakapur bazar, dhaka"),              # 4: jaccard tie → lexicographic
+        F.lit("zigatola, dhaka"),                    # 5: variant-known ev → kept
+        F.lit("house 9, dhaka"),                     # 6: per-word correction
+    )
+    g = (F.col("c_custkey") % 7).cast("int")
+    mid = F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id")
+    mentions = c.select(mid, F.element_at(txt, g + 1).alias("normalized"))
+    ev_val = (F.when(g == 1, F.lit("Uttara"))
+              .when(g == 2, F.lit("new eskaton"))
+              .when(g == 5, F.lit("zigatola"))
+              .when(g == 6, F.lit("gulshen tower")))
+    ev = c.select(
+        mid, F.lit("area").alias("component"), ev_val.alias("value"),
+        F.lit(0.9).alias("confidence"), F.lit("regex").alias("source"),
+    ).filter(F.col("value").isNotNull())
+    return fuzzy_area_evidence(mentions, ev)
+
+
 def q_j6_full_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: postal → (upazila, district, division, union list) broadcast
     lookup."""
@@ -1003,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_consistency": q_j3_consistency,
         "j4_predict_postal": q_j4_predict_postal,
         "j2_position_area": q_j2_position_area,
+        "j9_fuzzy_area": q_j9_fuzzy_area,
         "j5_geo_proactive": q_j5_geo_proactive,
         "j6_full_hierarchy": q_j6_full_hierarchy,
         "j8_enrich": q_j8_enrich,
@@ -1356,6 +1394,83 @@ def oracle_sql() -> dict[str, str]:
                    confidence, source
             from r where rn = 1
         """.format(areas_values=_values_sql(gz.AREAS, ["area", "district", "postal_code"])),
+        "j9_fuzzy_area": f"""
+            with m as (
+              select lpad(cast(c_custkey as varchar),6,'0') as mention_id,
+                     c_custkey % 7 as g,
+                     (case c_custkey % 7
+                        when 0 then 'house 5, gulshen, dhaka'
+                        when 1 then 'road 2, uttara, dhaka'
+                        when 2 then 'banani road, dhaka'
+                        when 3 then 'netrakona sadar bazar, mymensingh'
+                        when 4 then 'dhakapur bazar, dhaka'
+                        when 5 then 'zigatola, dhaka'
+                        else 'house 9, dhaka' end) as lt
+              from customer),
+            ev as (select mention_id,
+                          (case g when 1 then 'Uttara' when 2 then 'new eskaton'
+                                  when 5 then 'zigatola'
+                                  else 'gulshen tower' end) as value
+                   from m where g in (1, 2, 5, 6)),
+            ar as (select lower(area) as area_lc, area from {areas_values}),
+            known as (select area_lc as k from ar
+                      union select variant from {av_values}),
+            aev as (select distinct mention_id, lower(value) as k from ev),
+            has_known as (select distinct mention_id
+                          from aev join known using (k)),
+            -- correction path: per-WORD keys of unknown values, only for
+            -- mentions with no known value
+            unknown_words as (
+              select a.mention_id, unnest(string_split_regex(a.k, '\\s+')) as key
+              from aev a
+              where a.k not in (select k from known)
+                and a.mention_id not in (select mention_id from has_known)),
+            -- back-extraction path: token candidates of no-area mentions
+            -- (comma parts + words + word bigrams; texts are dash-free so
+            -- the dash-split branch is vacuous)
+            no_area as (select mention_id, lt from m
+                        where mention_id not in
+                              (select distinct mention_id from aev)),
+            parts as (select mention_id,
+                             trim(lower(regexp_replace(p.part,
+                                 '\\s?-\\s?\\d{{4}}\\b|-\\d{{1,2}}\\b|[।.]',
+                                 '', 'g'))) as pc
+                      from no_area,
+                           unnest(string_split_regex(lt, ',\\s*')) as p(part)),
+            pw as (select mention_id, pc,
+                          string_split_regex(pc, '\\s+') as ws from parts),
+            tok0 as (
+              select mention_id, pc as key from pw
+              union all
+              select mention_id, unnest(ws) from pw
+              union all
+              select mention_id, unnest(list_transform(range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i+1])) from pw),
+            toks as (
+              select distinct mention_id, key from (
+                select mention_id, key from tok0
+                union all
+                select mention_id, key from unknown_words)
+              where length(key) >= 3),
+            -- prefix-keyed candidates: 4-char always, 3-char for short
+            -- (length 4-5) area names; exact hits belong to vocab
+            cand as (
+              select t.mention_id, t.key, a.area_lc, a.area,
+                     jaccard(t.key, a.area_lc) as jac
+              from toks t join ar a
+                on (length(t.key) >= 4
+                    and substr(t.key,1,4) = substr(a.area_lc,1,4))
+                or (length(a.area_lc) between 4 and 5
+                    and substr(t.key,1,3) = substr(a.area_lc,1,3))
+              where t.key != a.area_lc),
+            best as (select *, row_number() over (partition by mention_id
+                         order by jac desc, area asc) as rn
+                     from cand where jac >= 0.7)
+            select mention_id, 'area' as component, area as value,
+                   cast(0.75 as double) as confidence,
+                   'gazetteer_corrected' as source
+            from best where rn = 1
+        """,
         "j5_geo_proactive": f"""
             with m as (
               select lpad(cast(c_custkey as varchar),6,'0') as mention_id,
