@@ -46,8 +46,13 @@ def country_expr(col: Column | str) -> Column:
 
     ``(?U)`` makes Java ``\\b`` Unicode-aware (Bangla letters are word
     chars), matching the reference's Python 3 ``re`` semantics; the
-    variation itself is quoted literally (``\\Q…\\E``) so dotted forms
-    like ``b.d.`` keep the reference's exact boundary behavior.
+    variation itself is quoted literally (``\\Q…\\E``), mirroring the
+    reference's ``re.escape``. Note the ``b.d.`` variation is inert in
+    BOTH engines: ``\\b`` after a final '.' demands a following word
+    char, so "dhaka b.d." matches via the ``b.d`` entry instead at the
+    same confidence (``endswith(v + '.')`` rung) — the dead table row is
+    kept only so the table is the reference's, byte for byte
+    (district_processor.py:186).
     """
     c = F.lower(F.col(col) if isinstance(col, str) else col)
     last_part = F.element_at(F.split(c, ","), -1)

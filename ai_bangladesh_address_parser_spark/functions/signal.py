@@ -17,16 +17,48 @@ on:
   * an address keyword (house/road/flat/thana/… incl. Bangla forms) —
     the anchor set of the keyword tiers;
   * a gazetteer vocabulary hit — any district spelling variant (English
-    or Bangla, `data.gazetteer.DISTRICT_VARIANTS`) or curated area name
-    / spelling variant: the anchor set of the vocab-join and fuzzy-area
-    stages.
+    or Bangla, `data.gazetteer.DISTRICT_VARIANTS`), curated area name /
+    spelling variant, or curated upazila/union/village name not already
+    substring-covered by those (the anchor set of the vocab-join and
+    geo stages — `_geo_closure_terms` recomputes the uncovered set from
+    the dims at import, so dim regeneration cannot silently open a
+    gap);
+  * a word starting with the 4-char prefix of any area or district
+    variant (3-char for short area names) — the candidate key the
+    fuzzy-area back-extraction stage joins on
+    (`operators.extract.fuzzy_area_evidence`), so misspellings like
+    "gulshen" that fuzzy recovery would resolve still pass.
 
-Soundness: a text with NO digit, NO keyword and NO vocab token can
-produce no regex/vocab/deep evidence (every evidence family anchors on
-one of those), and the second-pass stages (fuzzy/position/gazetteer/
-geo) only refine first-pass evidence — so skipping such a text yields
-byte-identical pipeline output, just without the work. Verified by the
-gate-equivalence pytest.
+Soundness contract (exact, and pinned by the gate pytests): every
+evidence family of the DEFAULT_STAGES pipeline anchors on one of the
+classes above —
+
+  * regex/FSM/house-road tiers: digit- or keyword-anchored;
+  * vocab joins (district / area / division / labeled ``area_vocab``):
+    exact surface must appear in the text; static surfaces are in the
+    pattern, runtime labeled vocabularies ride in via ``extra_terms``
+    (`plans.pipeline.LinkagePlan` wires its ``area_vocab`` variants
+    through automatically);
+  * geo stage (upazila/union token joins): every dim name contains a
+    district variant, a curated seed name, or itself — all in the
+    pattern (asserted by ``test_gate.py::test_dim_names_are_covered``);
+  * fuzzy-area back-extraction: candidate tokens share a 4-char (3 for
+    short) prefix with an area — the anchored prefix alternation;
+  * second-pass stages (position-area, unknown-value correction,
+    gazetteer enrich, geo fills): refine evidence that already exists,
+    so their mentions passed on the first-pass anchor.
+
+Known residual — disclosed, not hidden: the fuzzy-DISTRICT branch
+(`vocab_evidence`, edit-distance-1 recovery on the final comma-part)
+can match a token whose FIRST four characters are corrupted
+("zhaka, …"), which no prefix alternation can cover; covering single
+middle-edits of short names exactly would need ~3k-branch ED-1 regex
+alternations (or 4-char suffix substrings like "gram"/"haka" that
+false-pass most English prose). A text is affected only if that typo
+is its SOLE signal: comma-structured, no digit anywhere, no keyword,
+no vocab surface, no area/district prefix. Callers that need exactness
+over cost run ``LinkagePlan(gate=False)``; the gate-equivalence pytest
+runs both and pins everything except this documented class.
 
 The reference has no analogue (it is handed addresses, not web pages);
 the gate exists for the north rule's 10^12-page corpus, where it makes
@@ -38,6 +70,7 @@ the page count. Skipped-row counts ride the pipeline's metrics
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -73,8 +106,53 @@ def _vocab_terms() -> list[str]:
     return sorted(vocab, key=len, reverse=True)
 
 
-def _build_pattern() -> str:
-    alts = [re.escape(w) for w in _KEYWORDS + _vocab_terms()]
+def _geo_closure_terms(vocab: list[str]) -> list[str]:
+    """Geo dim names (upazila/union/village) with NO existing vocab term
+    as a substring — the curated seed names ("Savar", "Trishal", …).
+    Generated filler rows embed their district name and toy-derived
+    unions/villages embed their upazila name, so the closure stays a
+    ~20-term list; recomputing it here (rather than hand-listing) keeps
+    the gate sound under any future dim regeneration.
+    """
+    from ..data import dims
+
+    added: list[str] = []
+    for rows in (dims.UPAZILAS, dims.UNIONS, dims.VILLAGES):
+        for name, *_ in rows:
+            ln = name.lower()
+            if not (any(v in ln for v in vocab) or any(v in ln for v in added)):
+                added.append(ln)
+    return added
+
+
+def _fuzzy_prefix_terms() -> tuple[list[str], list[str]]:
+    """Prefix keys of the fuzzy stages: 4-char area prefixes (3-char for
+    short names, mirroring ``fuzzy_area_evidence``'s key rule) plus
+    4-char district-variant prefixes (the intact-prefix portion of the
+    edit-distance-1 district recovery space). ASCII prefixes are
+    word-start anchored (``\\b``) — fuzzy candidates are tokens, and the
+    anchor keeps "dhak" from matching inside e.g. "sandhakara"; Bangla
+    prefixes ride as plain substrings (Java's ``\\b`` is ASCII-word
+    without UNICODE_CHARACTER_CLASS, so anchoring would disable them).
+    """
+    areas = [a.lower() for a, _, _ in gz.AREAS]
+    pfx = {a[:4] for a in areas}
+    pfx |= {a[:3] for a in areas if 4 <= len(a) <= 5}
+    pfx |= {v[:4] for v, _ in gz.DISTRICT_VARIANTS if len(v) >= 4}
+    bounded = sorted(p for p in pfx if p[:1].isascii())
+    plain = sorted(p for p in pfx if not p[:1].isascii())
+    return bounded, plain
+
+
+@lru_cache(maxsize=32)
+def _build_pattern(extra_terms: tuple[str, ...] = ()) -> str:
+    vocab = _vocab_terms()
+    subs = set(_KEYWORDS) | set(vocab) | set(_geo_closure_terms(vocab))
+    subs |= {t.lower() for t in extra_terms if t}
+    bounded, plain = _fuzzy_prefix_terms()
+    subs |= set(plain)
+    alts = [re.escape(w) for w in sorted(subs, key=len, reverse=True)]
+    alts += [r"\b" + re.escape(p) for p in bounded]
     # digit class first: most address-bearing text exits on it at the
     # first digit position, long before the alternation is tried
     return "[0-9০-৯]|" + "|".join(alts)
@@ -83,11 +161,18 @@ def _build_pattern() -> str:
 SIGNAL_PATTERN = _build_pattern()
 
 
-def address_signal_expr(text_col: str) -> Column:
+def address_signal_expr(
+    text_col: str, extra_terms: tuple[str, ...] | None = None
+) -> Column:
     """Boolean Column: True iff the text shows any cheap address signal.
 
     Pure codegen (`lower` + `rlike` with a foldable pattern) — no
     Python, no join, no shuffle; safe to evaluate inline in the scan
     projection of a 10^12-row table.
+
+    ``extra_terms``: additional lowercased surfaces the pattern must
+    keep — pass the distinct variants of any runtime ``area_vocab`` so
+    labeled-vocabulary joins stay reachable through the gate.
     """
-    return F.lower(F.col(text_col)).rlike(SIGNAL_PATTERN)
+    pattern = _build_pattern(tuple(sorted(extra_terms)) if extra_terms else ())
+    return F.lower(F.col(text_col)).rlike(pattern)

@@ -187,10 +187,13 @@ class LinkagePlan:
         self.use_minhash = use_minhash
         # Address-likelihood gate (functions/signal.py): skip the deep
         # extraction battery and minhash banding for mentions with zero
-        # cheap signal (no digit, no keyword, no vocab hit). Output is
-        # provably identical (gate-equivalence pytest); only the work
-        # for pure-prose pages disappears. Skip counts ride metrics().
+        # cheap signal (no digit, no keyword, no vocab/geo surface, no
+        # fuzzy-area prefix). Output is identical up to the documented
+        # ED-1-district residual (signal.py soundness contract;
+        # gate-equivalence pytest); only the work for pure-prose pages
+        # disappears. Skip counts ride metrics().
         self.gate = gate
+        self._gate_extra: tuple[str, ...] | None = None
         # D5 stage control: an explicit ``stages`` set wins; else a
         # named profile (fast/balanced/accurate/minimal, reference
         # tools/control_stages.py:45-69); else the default stage set.
@@ -216,6 +219,19 @@ class LinkagePlan:
         self.area_vocab = area_vocab
         self.observations: dict[str, Observation] = {}
         self.gate_stats: dict | None = None
+
+    def _gate_expr(self, text_col: str = "normalized"):
+        """Gate predicate, extended with the runtime ``area_vocab``
+        variants so labeled-vocabulary joins stay reachable (signal.py
+        soundness contract). The variant list is tiny (distinct labeled
+        area surfaces) — collected once and folded into the pattern
+        literal."""
+        if self._gate_extra is None:
+            self._gate_extra = tuple(
+                r["variant"]
+                for r in self.area_vocab.select("variant").distinct().collect()
+            ) if self.area_vocab is not None else ()
+        return address_signal_expr(text_col, extra_terms=self._gate_extra or None)
 
     # -- S1 ---------------------------------------------------------------
     def extract(self, pages: DataFrame) -> DataFrame:
@@ -254,7 +270,7 @@ class LinkagePlan:
                 # ride here — the CollectMetrics node executes during
                 # the untracked checkpoint materialization and reports
                 # empty metrics
-                sig = address_signal_expr("normalized")
+                sig = self._gate_expr()
                 stats = uniq.agg(
                     F.count(F.lit(1)).alias("unique_mentions"),
                     F.sum((~sig).cast("long")).alias("gate_skipped"),
@@ -263,7 +279,7 @@ class LinkagePlan:
                     "unique_mentions": stats["unique_mentions"],
                     "gate_skipped": stats["gate_skipped"] or 0,
                 }
-            live = uniq.filter(address_signal_expr("normalized")) if self.gate else uniq
+            live = uniq.filter(self._gate_expr()) if self.gate else uniq
             ev = extract_evidence(live, id_col="norm_key", text_col="normalized",
                                   gazetteer=self.gazetteer,
                                   area_vocab=self.area_vocab, stages=self.stages)
@@ -273,8 +289,20 @@ class LinkagePlan:
             )
         else:
             keyed = keyed.localCheckpoint(eager=False)
-            live = (keyed.filter(address_signal_expr("normalized"))
-                    if self.gate else keyed)
+            if self.gate:
+                # same skip accounting as the dedup branch ("unique"
+                # here means raw mentions — no dedup ran); metrics()
+                # must report s1_gate whenever rows are being skipped
+                sig = self._gate_expr()
+                stats = keyed.agg(
+                    F.count(F.lit(1)).alias("unique_mentions"),
+                    F.sum((~sig).cast("long")).alias("gate_skipped"),
+                ).first()
+                self.gate_stats = {
+                    "unique_mentions": stats["unique_mentions"],
+                    "gate_skipped": stats["gate_skipped"] or 0,
+                }
+            live = keyed.filter(self._gate_expr()) if self.gate else keyed
             ev = extract_evidence(live, gazetteer=self.gazetteer,
                                   area_vocab=self.area_vocab, stages=self.stages)
             wide = keyed.join(resolved_wide(resolve_evidence(ev)), "mention_id", "left")
@@ -306,7 +334,7 @@ class LinkagePlan:
             postal_col="postal_code",
             district_col="district",
             use_minhash=self.use_minhash,
-            band_gate=address_signal_expr("normalized") if self.gate else None,
+            band_gate=self._gate_expr() if self.gate else None,
         )
         keys = self.store.through(self.spark, "s2_block_keys", keys)
         return candidate_pairs(keys)

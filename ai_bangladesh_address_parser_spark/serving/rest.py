@@ -178,26 +178,55 @@ class AddressService:
             result["extraction_time_ms"] = (time.time() - t0) * 1000
         else:
             p = _Pending(address)
+            # enqueue and stop-check under ONE lock: close() sets _stop
+            # under the same lock, so no request can slip in after the
+            # final drain and wait forever on a dead dispatcher
             with self._lock:
-                self._queue.append(p)
-            p.event.wait()
+                if self._stop.is_set():
+                    p.result = self._error_result(address, "service closed")
+                else:
+                    self._queue.append(p)
+            if p.result is None:
+                p.event.wait()
             result = dict(p.result or {})
             result["cached"] = False
             result["extraction_time_ms"] = (time.time() - t0) * 1000
-            with self._lock:
-                if len(self._cache) >= self.cache_size:  # FIFO eviction
-                    self._cache.pop(next(iter(self._cache)))
-                self._cache[key] = {
-                    k: v for k, v in result.items()
-                    if k not in ("cached", "extraction_time_ms")
-                }
+            # error results (dispatcher exception, closed service) are
+            # NOT cached — a transient Spark failure must not poison the
+            # cache entry for this address until 10k evictions later
+            if "error" not in result:
+                with self._lock:
+                    if len(self._cache) >= self.cache_size:  # FIFO eviction
+                        self._cache.pop(next(iter(self._cache)))
+                    self._cache[key] = {
+                        k: v for k, v in result.items()
+                        if k not in ("cached", "extraction_time_ms")
+                    }
         if not detailed:
             result.pop("metadata", None)
         return result
 
     def close(self) -> None:
-        self._stop.set()
+        with self._lock:
+            self._stop.set()
         self._worker.join(timeout=5)
+        # fail any request still queued — its handler thread is blocked
+        # on event.wait() and the dispatcher will never drain it
+        with self._lock:
+            leftover, self._queue = self._queue, []
+        for p in leftover:
+            p.result = self._error_result(p.address, "service closed")
+            p.event.set()
+
+    @staticmethod
+    def _error_result(address: str, error: str) -> dict:
+        return {
+            "components": {},
+            "overall_confidence": 0.0,
+            "normalized_address": "",
+            "original_address": address,
+            "error": error,
+        }
 
     # -- dispatcher ------------------------------------------------------
 
@@ -220,13 +249,7 @@ class AddressService:
                     stages=self.stages,
                 )
             except Exception as e:  # D4 error isolation: never kill serving
-                results = [{
-                    "components": {},
-                    "overall_confidence": 0.0,
-                    "normalized_address": "",
-                    "original_address": p.address,
-                    "error": str(e),
-                } for p in batch]
+                results = [self._error_result(p.address, str(e)) for p in batch]
             for p, r in zip(batch, results):
                 p.result = r
                 p.event.set()
@@ -261,8 +284,12 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n) or b"{}")
-            address = req["address"]
-        except (ValueError, KeyError) as e:
+            address = req["address"]  # TypeError when body isn't an object
+            if not isinstance(address, str):
+                raise ValueError("'address' must be a string")
+        except (ValueError, KeyError, TypeError) as e:
+            # the reference FastAPI surface answers malformed bodies with
+            # a validation error, never a dropped connection
             self._send(400, {"error": f"bad request: {e}"})
             return
         self._send(200, self.service.extract(address, bool(req.get("detailed"))))

@@ -33,7 +33,21 @@ _SIGNALFUL = [
     ("bangla district", "ঢাকা শহরে উৎসব"),
     ("area vocab", "shops in gulshan are busy"),
     ("area variant", "the zigatola neighbourhood"),
+    # geo-stage surfaces: curated upazila/union names reachable by the
+    # geo token joins (round-3 gap — previously skipped)
+    ("upazila seed", "trishal prose here"),
+    ("upazila seed 2", "savar office prose"),
+    ("union derived", "the savarhat union council met"),
+    # fuzzy-area back-extraction candidate: 4-char area prefix intact
+    ("fuzzy area prefix", "gulshen residential enclave"),
+    # ED-1 district typo with intact 4-prefix (fuzzy-district branch)
+    ("district typo prefix", "some prose, dhakka"),
 ]
+
+# the DOCUMENTED residual (signal.py soundness contract): an ED-1
+# district typo whose first four characters are corrupted, as the sole
+# signal — gate=False is the exactness path for this class
+_RESIDUAL = ["some prose, zhaka"]
 
 
 def test_signal_expr_classes(spark):
@@ -51,10 +65,66 @@ def test_signal_pattern_is_static():
     assert "dhaka" in SIGNAL_PATTERN and "বাড়ি" in SIGNAL_PATTERN
 
 
+def test_residual_class_documented():
+    import re
+
+    for t in _RESIDUAL:
+        assert not re.search(SIGNAL_PATTERN, t.lower())
+
+
+def test_dim_names_are_covered():
+    """Soundness-by-construction: every geo/area dim surface the exact
+    token joins can match contains a gate term, so any text containing
+    it passes — dim regeneration cannot silently open a gap."""
+    import re
+
+    from ai_bangladesh_address_parser_spark.data import dims
+
+    pat = re.compile(SIGNAL_PATTERN)
+    names = (
+        [n for n, *_ in dims.UPAZILAS]
+        + [n for n, *_ in dims.UNIONS]
+        + [n for n, *_ in dims.VILLAGES]
+        + [a for a, _, _ in dims.AREAS]
+        + [v for v, _ in dims.AREA_VARIANTS]
+    )
+    missed = [n for n in names if not pat.search(n.lower())]
+    assert missed == [], f"gate misses dim surfaces: {missed[:10]}"
+
+
+def test_fuzzy_area_candidates_are_covered():
+    """Every token the fuzzy back-extraction stage could join (4-char
+    area prefix, 3-char for short names) passes the gate even when the
+    rest of the word is arbitrary."""
+    import re
+
+    from ai_bangladesh_address_parser_spark.data import gazetteer as gz
+
+    pat = re.compile(SIGNAL_PATTERN)
+    for a, _, _ in gz.AREAS:
+        lc = a.lower()
+        probes = [lc[:4] + "xyz"] + ([lc[:3] + "qzx"] if 4 <= len(lc) <= 5 else [])
+        for probe in probes:
+            assert pat.search(f"prose {probe} prose"), (a, probe)
+
+
+def test_extra_terms_extend_pattern(spark):
+    df = spark.createDataFrame([("living in niketonx lately",)], "text string")
+    base = df.select(address_signal_expr("text").alias("s")).first()["s"]
+    ext = df.select(
+        address_signal_expr("text", extra_terms=("niketonx",)).alias("s")
+    ).first()["s"]
+    assert (base, ext) == (False, True)
+
+
 def _mixed_corpus(spark, n_pages=240):
     pages, truth = synth_pages(spark, n_pages=n_pages, n_entities=30)
+    # prose negatives PLUS the former gap class: signal-bearing texts
+    # whose only anchor is a geo name / fuzzy prefix — the equivalence
+    # assertion below is what catches a gate that drops their evidence
+    texty = _PROSE + [t for _, t in _SIGNALFUL]
     neg = spark.createDataFrame(
-        [(f"prose://{i}", _PROSE[i % len(_PROSE)] + f" variant {'x' * (i % 3)}")
+        [(f"prose://{i}", texty[i % len(texty)] + f" variant {'x' * (i % 3)}")
          for i in range(60)],
         "url string, text string",
     ).select(
@@ -99,16 +169,63 @@ def test_gate_metrics_and_singletons(spark):
     plan = LinkagePlan(spark, gate=True)
     ents = plan.run(corpus)
     prose = ents.filter(F.col("url").startswith("prose://"))
-    # prose pages survive to the output; exact-dup texts collapse to one
-    # entity per distinct normalized text (unique-level semantics), and
-    # no prose page ever merges with an address entity
     assert prose.count() == 60
-    n_texts = prose.select("normalized").distinct().count()
-    assert prose.select("entity_id").distinct().count() == n_texts == 12
+    # the PURE-prose subset (no signal at all): survives to the output,
+    # exact-dup texts collapse to one singleton entity per distinct
+    # normalized text, and none merges with an address entity. The
+    # signalful negatives (geo-name-only texts) legitimately carry
+    # area/district evidence and may link among themselves — only the
+    # signal-free class has the singleton guarantee.
+    n_texty = len(_PROSE) + len(_SIGNALFUL)
+    pure_urls = [f"prose://{i}" for i in range(60) if i % n_texty < len(_PROSE)]
+    pure = prose.filter(F.col("url").isin(pure_urls))
+    assert pure.count() == len(pure_urls)
+    n_texts = pure.select("normalized").distinct().count()
+    assert pure.select("entity_id").distinct().count() == n_texts > 0
     addr_ents = ents.filter(~F.col("url").startswith("prose://")).select("entity_id")
-    assert prose.select("entity_id").join(addr_ents, "entity_id").count() == 0
+    assert pure.select("entity_id").join(addr_ents, "entity_id").count() == 0
     # and every one of them was skipped by the gate (plus nothing else:
     # every labeled synth page carries digits)
     m = plan.metrics()["s1_gate"]
     assert m["gate_skipped"] > 0
     assert m["gate_skipped"] <= m["unique_mentions"]
+
+
+def test_gate_metrics_without_dedup(spark):
+    """s1_gate accounting must exist whenever rows are skipped — also in
+    the dedup_mentions=False branch (round-3 review fix)."""
+    corpus, _ = _mixed_corpus(spark)
+    plan = LinkagePlan(spark, gate=True, dedup_mentions=False)
+    plan.extract(corpus).count()
+    m = plan.metrics()["s1_gate"]
+    assert m["gate_skipped"] > 0
+    assert m["gate_skipped"] <= m["unique_mentions"]
+
+
+def test_gate_keeps_area_vocab_surfaces(spark):
+    """A labeled area_vocab variant unknown to the static pattern must
+    pass the gate and produce identical output to the ungated run."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    av = spark.createDataFrame(
+        [("zzoloka", "Zzoloka")], "variant string, area string"
+    )
+    pages = spark.createDataFrame(
+        [("p://1", "prose text, zzoloka, more prose")],
+        "url string, text string",
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        "text",
+        F.lit("en").alias("lang"),
+    )
+    rows = {}
+    for gate in (True, False):
+        plan = LinkagePlan(spark, gate=gate, area_vocab=av)
+        rows[gate] = sorted(
+            (r["mention_id"], r["area"])
+            for r in plan.extract(pages).select("mention_id", "area").collect()
+        )
+    assert rows[True] == rows[False]
+    assert rows[True][0][1] == "Zzoloka"

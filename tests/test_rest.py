@@ -134,3 +134,41 @@ def test_concurrent_requests_micro_batch(server):
     for i, a in enumerate(addrs):
         assert results[a]["components"]["house_number"] == str(i)
         assert results[a]["original_address"] == a
+
+
+def test_bad_bodies_get_400_not_dropped(server):
+    # non-object JSON bodies and non-string addresses must produce an
+    # HTTP 400, never an uncaught handler exception / dropped connection
+    for payload in [[1, 2], "text", 5, {"address": 123}, {"address": None}]:
+        status, body = _post(server, "/extract", payload)
+        assert status == 400 and "error" in body, payload
+
+
+def test_errors_are_not_cached(spark):
+    svc = AddressService(spark, max_batch=4, poll_interval_s=0.005)
+    try:
+        # force a dispatcher failure for one batch only
+        real_spark = svc.spark
+        svc.spark = None  # extract_texts will raise on first use
+        first = svc.extract("House 3, Road 9, Banani, Dhaka")
+        assert "error" in first and first["cached"] is False
+        # service self-heals: same key re-runs instead of serving the
+        # poisoned entry from cache
+        svc.spark = real_spark
+        second = svc.extract("House 3, Road 9, Banani, Dhaka")
+        assert "error" not in second
+        assert second["cached"] is False
+        assert second["components"]["house_number"] == "3"
+        third = svc.extract("House 3, Road 9, Banani, Dhaka")
+        assert third["cached"] is True
+    finally:
+        svc.close()
+
+
+def test_close_does_not_hang_pending(spark):
+    svc = AddressService(spark, max_batch=4, poll_interval_s=0.005)
+    svc.close()
+    # post-close extract returns a closed-service error immediately
+    # instead of waiting forever on the dead dispatcher
+    r = svc.extract("House 1, Road 1, Gulshan, Dhaka")
+    assert r["error"] == "service closed" and r["cached"] is False
