@@ -144,6 +144,38 @@ def _fuzzy_prefix_terms() -> tuple[list[str], list[str]]:
     return bounded, plain
 
 
+def _trie_regex(words: list[str]) -> str:
+    """Prefix-factored regex matching exactly the union of ``words``.
+
+    A flat 800-literal alternation makes Java's regex engine attempt
+    every branch at every text position (measured ~4.6 s per gate scan
+    of 5.7k mentions); trie factoring shares common prefixes so each
+    position dispatches on at most one branch per distinct next char —
+    same language, ~an order of magnitude cheaper to run.
+    """
+    trie: dict = {}
+    for w in words:
+        node = trie
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node[""] = {}  # word-end marker
+
+    def emit(node: dict) -> str:
+        if set(node) == {""}:
+            return ""
+        alts, done = [], False
+        for ch, sub in sorted(node.items()):
+            if ch == "":
+                done = True
+            else:
+                alts.append(re.escape(ch) + emit(sub))
+        if len(alts) == 1 and not done:
+            return alts[0]
+        return "(?:" + "|".join(alts) + ")" + ("?" if done else "")
+
+    return emit(trie)
+
+
 @lru_cache(maxsize=32)
 def _build_pattern(extra_terms: tuple[str, ...] = ()) -> str:
     vocab = _vocab_terms()
@@ -151,11 +183,13 @@ def _build_pattern(extra_terms: tuple[str, ...] = ()) -> str:
     subs |= {t.lower() for t in extra_terms if t}
     bounded, plain = _fuzzy_prefix_terms()
     subs |= set(plain)
-    alts = [re.escape(w) for w in sorted(subs, key=len, reverse=True)]
-    alts += [r"\b" + re.escape(p) for p in bounded]
     # digit class first: most address-bearing text exits on it at the
     # first digit position, long before the alternation is tried
-    return "[0-9০-৯]|" + "|".join(alts)
+    return (
+        "[0-9০-৯]|"
+        + _trie_regex(sorted(subs))
+        + r"|\b" + _trie_regex(bounded)
+    )
 
 
 SIGNAL_PATTERN = _build_pattern()
