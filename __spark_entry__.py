@@ -862,8 +862,10 @@ def q_t10_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via hyperplane-bucket
-    self-join. The oracle replicates the bucketing and the cosine
+    """Embedding-cosine near-duplicate pairs via 4-table hyperplane-
+    bucket self-join (OR-construction over plane sets — the recall
+    device; a single table keeps only ~43% of near-threshold pairs).
+    The oracle replicates all 4 tables' bucketing and the cosine
     threshold exactly, so the approximate (bucketed) pair set is
     checked value-for-value. Threshold 0.40 fits the synthetic
     embeddings' cosine range (max ~0.51; nearest pair sits 1.3e-4
@@ -1087,6 +1089,10 @@ def oracle_sql() -> dict[str, str]:
     signs_values = ("(VALUES " + ", ".join(
         f"({p}, {i + 1}, {plane_sign(p, i)})"
         for p in range(6) for i in range(64)) + ") AS t(p, i, s)")
+    # x7's 4-table OR-construction: global plane ids 0..23, table = p/6
+    signs4_values = ("(VALUES " + ", ".join(
+        f"({p}, {i + 1}, {plane_sign(p, i)})"
+        for p in range(24) for i in range(64)) + ") AS t(p, i, s)")
 
     up_values = _values_sql(
         [(n, d, dv, c) for n, d, dv, c in gh.UPAZILAS],
@@ -1875,11 +1881,16 @@ def oracle_sql() -> dict[str, str]:
             bits as (select unnest(generate_series(0, 55)) as bit),
             votes as (select doc_id, bit,
                              sum(case when (h >> bit) & 1 = 1 then 1 else -1 end) as s
-                      from th cross join bits group by doc_id, bit)
-            select doc_id,
-                   cast(sum(case when s > 0 then (1::bigint << bit) else 0 end)
-                        as bigint) as simhash
-            from votes group by doc_id
+                      from th cross join bits group by doc_id, bit),
+            sigs as (select doc_id,
+                            cast(sum(case when s > 0 then (1::bigint << bit) else 0 end)
+                                 as bigint) as simhash
+                     from votes group by doc_id)
+            -- token-less docs keep signature 0 (Spark side does the same
+            -- left-join fill) instead of vanishing from the output
+            select d.doc_id, coalesce(s.simhash, 0) as simhash
+            from (select distinct doc_id from documents) d
+            left join sigs s using (doc_id)
         """,
         "x1_ann_topk": """
             with q as (select vec_id as query_id, embedding as qv from embeddings where vec_id < 10),
@@ -1927,26 +1938,28 @@ def oracle_sql() -> dict[str, str]:
             select query_id, neighbor_id, rank from r where rank <= 3
         """.format(signs_values=signs_values),
         "x7_embedding_neardup": f"""
-            with signs as (select * from {{signs_values}}),
+            with signs as (select * from {{signs4_values}}),
             ex as (select vec_id, g.i as i, cast(embedding[g.i] as double) as x
                    from embeddings
                    cross join unnest(generate_series(1, len(embedding))) as g(i)),
             dots as (select e.vec_id, s.p, sum(e.x * s.s) as dot
                      from ex e join signs s on e.i = s.i
                      group by e.vec_id, s.p),
-            buckets as (select vec_id,
-                               cast(sum(case when dot > 0 then (1::bigint << p)
+            -- 4 independent tables: global plane p -> (table p/6, bit p%6)
+            buckets as (select vec_id, p // 6 as tbl,
+                               cast(sum(case when dot > 0 then (1::bigint << (p % 6))
                                         else 0 end) as bigint) as bucket
-                        from dots group by vec_id),
-            d as (select b.vec_id as id, b.bucket, e.embedding as v
+                        from dots group by vec_id, p // 6),
+            d as (select b.vec_id as id, b.tbl, b.bucket, e.embedding as v
                   from buckets b join embeddings e on b.vec_id = e.vec_id),
             pairs as (select a.id as id_a, b.id as id_b,
                              list_cosine_similarity(cast(a.v as double[]),
                                                     cast(b.v as double[])) as cosine
-                      from d a join d b on a.bucket = b.bucket and a.id < b.id)
+                      from d a join d b
+                        on a.tbl = b.tbl and a.bucket = b.bucket and a.id < b.id)
             select distinct id_a, id_b, round(cosine, 6) as cosine
             from pairs where cosine >= 0.40
-        """.format(signs_values=signs_values),
+        """.format(signs4_values=signs4_values),
         "m1_media_features": """
             select cast(doc_id as varchar) as media_id,
                    'text' as kind,

@@ -65,39 +65,32 @@ def minhash_band_keys(
 ) -> DataFrame:
     """→ (mention_id, block_key='m:<band>:<sig>') via the explode plan.
 
-    Long-format instead of a higher-order ``transform`` over a token
-    array: Spark evaluates lambda functions interpreted (no codegen
-    inside HOFs), which measured ~50-100× slower per hash. Exploded
-    volume (mentions × tokens × seeds) collapses to mentions × seeds in
-    the partial aggregation before the shuffle — the shape that
-    survives 10^12 pages. Fixed integer seeds → deterministic across
-    runs and partitions.
+    One banding implementation: this reuses ``dedup.
+    minhash_signatures_long`` (explode plan — codegen'd hashing,
+    mentions × seeds collapse before the shuffle) and ``dedup.
+    band_signatures`` with the blocking tokenizer plugged in as the
+    shingle expression, so fixes to the LSH plan land once.
+
+    Mentions whose text yields NO shingles (empty/NULL text) emit no
+    band keys: the [""] fallback shingle would give every such mention
+    an identical signature in every band — one quadratic junk mega-
+    block of contentless rows (exact-duplicate empties already collapse
+    at the norm_key level upstream).
     """
-    r = n_seeds // n_bands
-    toks = mentions.select(
-        F.col(id_col).alias("mention_id"),
-        F.explode(F.array_distinct(minhash_shingles_expr(text_col))).alias("w"),
+    from .dedup import band_rows, band_signatures, minhash_signatures_long
+
+    r = band_rows(n_seeds, n_bands)
+    shingles = F.filter(
+        F.array_distinct(minhash_shingles_expr(text_col)), lambda x: x != ""
     )
-    seeded = toks.select(
-        "mention_id", F.explode(F.array(*[F.lit(i) for i in range(n_seeds)])).alias("seed"), "w"
+    sig = minhash_signatures_long(
+        mentions, id_col=id_col, text_col=text_col, n_hashes=n_seeds,
+        shingles=shingles,
     )
-    sig = (
-        seeded.withColumn("hv", F.xxhash64(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("w"))))
-        .groupBy("mention_id", "seed")
-        .agg(F.min("hv").alias("minhash"))
-    )
-    return (
-        sig.withColumn("band", F.floor(F.col("seed") / r))
-        .groupBy("mention_id", "band")
-        .agg(
-            F.xxhash64(
-                F.concat_ws(",", F.sort_array(F.collect_list(F.struct("seed", "minhash"))).cast("string"))
-            ).alias("bsig")
-        )
-        .select(
-            "mention_id",
-            F.concat(F.lit("m:"), F.col("band").cast("string"), F.lit(":"), F.col("bsig").cast("string")).alias("block_key"),
-        )
+    return band_signatures(sig, id_col, r).select(
+        F.col("_id").alias("mention_id"),
+        F.concat(F.lit("m:"), F.col("band").cast("string"), F.lit(":"),
+                 F.col("bsig").cast("string")).alias("block_key"),
     )
 
 
@@ -125,10 +118,29 @@ def blocking_keys(
     O(n / (64 · |house-or-area values|)). The bare ``d:<soundex>`` key
     survives ONLY for mentions with no postal, no house, and no area —
     the last-resort bucket, a vanishing fraction of real pages.
+
+    Deliberate recall divergence from the reference's O(n²) loop: a
+    RICH mention (postal/house/area present) and a SPARSE same-district
+    mention (district only) share no key, so the pair is never scored —
+    yet the reference's renormalized compare would score it 1.0 on the
+    single shared component. That "match" is transitively toxic: one
+    district-only mention pairs at 1.0 with EVERY rich mention of its
+    district, and connected components would weld all Dhaka entities
+    into one. Declining to generate those pairs is the scale-correct
+    (and arguably semantics-correct) choice; sparse mentions still pair
+    with each other through the bare key and with textually-similar
+    pages through the band keys. Pinned by
+    ``test_linkage.py::test_sparse_district_only_mentions_stay_apart``.
+
+    Columns named by ``postal_col``/``district_col``/``house_col``/
+    ``area_col`` that are absent from the frame degrade gracefully
+    (that key family is skipped).
     """
     have = set(mentions.columns)
     nonempty = lambda c: F.col(c).isNotNull() & (F.col(c) != "")  # noqa: E731
     keys = F.array()
+    postal_col = postal_col if postal_col and postal_col in have else None
+    district_col = district_col if district_col and district_col in have else None
     if postal_col:
         keys = F.concat(
             keys,
@@ -182,7 +194,7 @@ def blocking_keys(
         # the sf0.1 bench). LSH stays the recall net for mentions the
         # extractor could NOT structure — its actual job.
         mh_in = mentions
-        if postal_col and postal_col in have:
+        if postal_col:
             mh_in = mentions.filter(~nonempty(postal_col))
         if band_gate is not None:
             # address-likelihood gate (functions/signal.py): zero-signal

@@ -113,6 +113,7 @@ def minhash_signatures_long(
     n_hashes: int = 8,
     shingle_k: int = 3,
     hash_fn: str = "xxhash64",
+    shingles: Column | None = None,
 ) -> DataFrame:
     """(id, seed, minhash) via the explode plan: shingles → seeds →
     codegen'd hash → map-side-combined min.
@@ -127,9 +128,14 @@ def minhash_signatures_long(
 
     ``hash_fn='xxhash64'`` is the fast path; ``'md5'`` is the portable
     56-bit variant (bit-identical in DuckDB) used by oracle checks.
+    ``shingles`` overrides the default shingle expression — the blocking
+    band keys reuse this plan with their own tokenizer.
     """
     sh = docs.select(
-        F.col(id_col).alias("_id"), F.explode(shingles_expr(text_col, shingle_k)).alias("sh")
+        F.col(id_col).alias("_id"),
+        F.explode(
+            shingles if shingles is not None else shingles_expr(text_col, shingle_k)
+        ).alias("sh"),
     )
     seeded = sh.select(
         "_id", F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("seed"), "sh"
@@ -143,6 +149,32 @@ def minhash_signatures_long(
         .groupBy("_id", "seed")
         .agg(F.min("hv").alias("minhash"))
         .select(F.col("_id").alias(id_col), "seed", "minhash")
+    )
+
+
+def band_rows(n_hashes: int, bands: int) -> int:
+    """Validated rows-per-band r = n_hashes / bands. Non-divisible
+    values silently change the band COUNT (floor(seed/r) overflows past
+    bands-1), so the advertised P ≈ 1−(1−J^r)^b would be wrong for the
+    caller's parameters; bands > n_hashes makes r = 0 → division by
+    zero. Fail loudly instead."""
+    if bands < 1 or n_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide n_hashes={n_hashes} "
+            f"(got r={n_hashes}/{bands}); the banding probability "
+            f"model assumes exactly b bands of r rows"
+        )
+    return n_hashes // bands
+
+
+def band_signatures(sig: DataFrame, id_col: str, r: int) -> DataFrame:
+    """(_id, band, bsig) from long-format (id, seed, minhash) rows —
+    the shared banding aggregation of the dedup LSH and the blocking
+    band keys (one implementation, two key formats)."""
+    return (
+        sig.withColumn("band", F.floor(F.col("seed") / r))
+        .groupBy(F.col(id_col).alias("_id"), "band")
+        .agg(F.xxhash64(F.concat_ws(",", F.sort_array(F.collect_list(F.struct("seed", "minhash"))).cast("string"))).alias("bsig"))
     )
 
 
@@ -161,12 +193,10 @@ def minhash_band_pairs(
     1 − (1 − J^r)^b. Buckets larger than ``max_bucket`` (degenerate
     content, e.g. boilerplate) are dropped before the quadratic
     self-join — same policy as the blocking hot-cap."""
-    r = n_hashes // bands
+    r = band_rows(n_hashes, bands)
     sig = minhash_signatures_long(docs, id_col, text_col, n_hashes, shingle_k, hash_fn)
     band_sig = (
-        sig.withColumn("band", F.floor(F.col("seed") / r))
-        .groupBy(F.col(id_col).alias("_id"), "band")
-        .agg(F.xxhash64(F.concat_ws(",", F.sort_array(F.collect_list(F.struct("seed", "minhash"))).cast("string"))).alias("bsig"))
+        band_signatures(sig, id_col, r)
         .select("_id", F.concat_ws(":", F.col("band").cast("string"), F.col("bsig").cast("string")).alias("band_key"))
         # referenced 2-4× below (freq filter + both self-join sides):
         # materialize once instead of recomputing the signature plan
@@ -194,7 +224,16 @@ def simhash(
     Long-format plan: explode distinct tokens → token hash → explode bit
     positions → signed vote per (doc, bit) → assemble bits. Two
     map-side-combinable aggregations; scales linearly in corpus token
-    count."""
+    count.
+
+    Docs whose text tokenizes to nothing (empty, whitespace/punctuation-
+    only, NULL) get signature 0 instead of vanishing from the output —
+    the explode would otherwise drop them, so ``simhash_near_pairs``
+    would never report two trivially-identical empty docs and callers
+    joining signatures back would silently lose rows (the minhash path
+    keeps such docs via its [""] fallback shingle; this keeps the family
+    consistent)."""
+    ids = docs.select(F.col(id_col).alias("_id")).distinct()
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens_expr(text_col))).alias("tok"),
@@ -214,14 +253,14 @@ def simhash(
         .groupBy("_id", "bit")
         .agg(F.sum("vote").alias("s"))
     )
+    sigs = votes.groupBy("_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
     return (
-        votes.groupBy("_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(F.lit(0))
-            ).alias("simhash")
-        )
-        .select(F.col("_id").alias(id_col), "simhash")
+        ids.join(sigs, "_id", "left")
+        .select(F.col("_id").alias(id_col), F.coalesce("simhash", F.lit(0)).alias("simhash"))
     )
 
 

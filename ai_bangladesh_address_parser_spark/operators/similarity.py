@@ -14,8 +14,13 @@ Two paths, per the scale playbook:
     scoring only within buckets. Sub-linear candidate volume; recall
     tested against the brute-force baseline in pytest.
 
-Embedding dims are data-dependent; every expression reads
-``size(embedding)`` instead of assuming a constant.
+Embedding dims: the bucket fast path embeds the plane signs as literal
+arrays, which requires ONE dim per call — passed explicitly or inferred
+from the first corpus row. Rows whose ``size(embedding)`` disagrees
+fail loudly (``raise_error`` inside the bucket projection, no extra
+scan) instead of silently hashing to bucket 0 through null-padded
+``zip_with``; a mixed-dim corpus (two encoder versions) must be
+partitioned by dim by the caller.
 """
 
 from __future__ import annotations
@@ -79,7 +84,9 @@ def plane_sign(p: int, i: int) -> int:
     return (int(hashlib.md5(f"{p}|{i}".encode()).hexdigest()[:14], 16) % 2) * 2 - 1
 
 
-def hyperplane_bucket_expr(vec_col: str, n_planes: int = 8, dim: int | None = None) -> Column:
+def hyperplane_bucket_expr(
+    vec_col: str, n_planes: int = 8, dim: int | None = None, plane_offset: int = 0
+) -> Column:
     """Deterministic sign-random-projection bucket id in [0, 2^n).
 
     Plane p's weight for dimension i is ±1 from the parity of the
@@ -93,12 +100,18 @@ def hyperplane_bucket_expr(vec_col: str, n_planes: int = 8, dim: int | None = No
     md5 calls PER ROW — 6,144 md5/row for a 768-dim embedding.)
     ``dim=None`` falls back to the in-expression md5 for callers that
     genuinely cannot know the dimension; identical results, slow.
+
+    ``plane_offset`` shifts the plane-id space — table t of a multi-
+    table LSH uses planes ``[t·n, (t+1)·n)`` so its signs are
+    independent of every other table's while staying deterministic.
     """
     parts = []
     if dim is not None:
         v = F.col(vec_col).cast("array<double>")
         for p in range(n_planes):
-            signs = F.array(*[F.lit(float(plane_sign(p, i))) for i in range(dim)])
+            signs = F.array(*[
+                F.lit(float(plane_sign(p + plane_offset, i))) for i in range(dim)
+            ])
             dot = F.aggregate(
                 F.zip_with(v, signs, lambda x, s: x * s),
                 F.lit(0.0), lambda acc, x: acc + x,
@@ -109,11 +122,24 @@ def hyperplane_bucket_expr(vec_col: str, n_planes: int = 8, dim: int | None = No
         dot = F.expr(
             f"aggregate(zip_with(cast(`{vec_col}` as array<double>), "
             f"sequence(0, size(`{vec_col}`) - 1), (x, i) -> "
-            f"x * (cast(conv(substring(md5(concat('{p}', '|', cast(i as string))), 1, 14), 16, 10) as bigint) % 2 * 2 - 1)), "
+            f"x * (cast(conv(substring(md5(concat('{p + plane_offset}', '|', cast(i as string))), 1, 14), 16, 10) as bigint) % 2 * 2 - 1)), "
             f"cast(0.0 as double), (acc, v) -> acc + v)"
         )
         parts.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     return sum(parts[1:], parts[0]).alias("bucket")
+
+
+def _dim_checked(expr: Column, vec_col: str, dim: int) -> Column:
+    """Fail loudly on rows whose embedding length disagrees with the
+    plane-sign dim: a null-padded ``zip_with`` dot is null, every sign
+    bit reads 0, and the row silently lands in bucket 0 with garbage
+    neighbors. The guard rides the same projection — no extra scan."""
+    return F.when(F.size(F.col(vec_col)) == dim, expr).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"embedding dim mismatch: plane signs built for dim={dim}, row has "),
+            F.size(F.col(vec_col)).cast("string"),
+        ))
+    )
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
@@ -138,6 +164,8 @@ def lsh_topk(
     omitted) enables the literal-signs fast path."""
     dim = dim if dim is not None else _infer_dim(corpus, vec_col)
     bucket = hyperplane_bucket_expr(vec_col, n_planes, dim=dim)
+    if dim is not None:
+        bucket = _dim_checked(bucket, vec_col, dim).alias("bucket")
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), bucket)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), bucket)
     if multiprobe:
@@ -168,17 +196,36 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     dim: int | None = None,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: bucket self-join (all
-    2^n_planes buckets in parallel) → cosine ≥ threshold. The
-    embedding-space member of the dedup family in
-    ``operators.dedup``."""
+    """Embedding-cosine near-duplicate pairs: multi-table bucket
+    self-join → cosine ≥ threshold. The embedding-space member of the
+    dedup family in ``operators.dedup``.
+
+    ``n_tables`` independent hash tables (table t uses planes
+    ``[t·n_planes, (t+1)·n_planes)``) are the OR-construction — the same
+    recall device as ``minhash_band_pairs``'s b bands. A single 8-plane
+    table keeps a cosine-0.95 pair with probability only
+    (1−θ/π)^8 ≈ 0.43; four tables lift that to 1−(1−0.43)^4 ≈ 0.89.
+    Per-row cost is n_tables × n_planes literal-sign dots; join volume
+    is one row per (table, bucket) membership, deduped by the final
+    ``distinct``. Exact recall on a given corpus is measurable against
+    ``brute_force_topk`` (pytest does)."""
     dim = dim if dim is not None else _infer_dim(corpus, vec_col)
-    bucket = hyperplane_bucket_expr(vec_col, n_planes, dim=dim)
-    d = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket)
+    buckets = F.array(*[
+        hyperplane_bucket_expr(vec_col, n_planes, dim=dim, plane_offset=t * n_planes)
+        for t in range(n_tables)
+    ])
+    if dim is not None:
+        buckets = _dim_checked(buckets, vec_col, dim)
+    d = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.posexplode(buckets).alias("tbl", "bucket"),
+    )
     a, b = d.alias("a"), d.alias("b")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["tbl", "bucket"])
         .filter(F.col("a._id") < F.col("b._id"))
         .withColumn("cosine", cosine_expr(F.col("a._v").cast("array<double>"), F.col("b._v").cast("array<double>")))
         .filter(F.col("cosine") >= threshold)

@@ -162,3 +162,61 @@ def test_band_reprocess_and_merge(spark, tmp_path):
     got = {r.id: (r.payload, r.overall_confidence) for r in merged.collect()}
     assert got[3] == ("C", 0.96) and got[4] == ("D", 0.96)
     assert got[1] == ("a", 0.97) and merged.count() == 4
+
+
+def test_minhash_bands_divisibility_validated(spark, docs):
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_band_pairs(docs, n_hashes=8, bands=3)
+
+
+def test_simhash_keeps_tokenless_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "!!!"), (1, "..."), (2, ""), (3, "real words here")],
+        "doc_id bigint, text string",
+    )
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert set(sh) == {0, 1, 2, 3}          # nothing vanishes
+    assert sh[0] == sh[1] == sh[2] == 0     # token-less docs: signature 0
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup.simhash_near_pairs(df, max_hamming=3).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs  # identical empties ARE near-dups
+
+
+def test_embedding_neardup_multi_table_recall(spark):
+    import math
+
+    # ring of unit vectors: consecutive ids are near-dups (cos ~0.9998)
+    rows = []
+    for i in range(120):
+        theta = i * 0.02
+        vec = [math.cos(theta), math.sin(theta)] + [0.0] * 6
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").cache()
+    # brute-force truth: all pairs with cosine >= threshold
+    a = emb.selectExpr("vec_id as id_a", "embedding as va")
+    b = emb.selectExpr("vec_id as id_b", "embedding as vb")
+    bf = (a.crossJoin(b).filter("id_a < id_b")
+          .withColumn("cos", similarity.cosine_expr(F.col("va"), F.col("vb")))
+          .filter("cos >= 0.999"))
+    want = {(r.id_a, r.id_b) for r in bf.collect()}
+    got1 = {(r.id_a, r.id_b) for r in similarity.embedding_near_dup_pairs(
+        emb, threshold=0.999, n_planes=8, n_tables=1).collect()}
+    got4 = {(r.id_a, r.id_b) for r in similarity.embedding_near_dup_pairs(
+        emb, threshold=0.999, n_planes=8, n_tables=4).collect()}
+    assert got1 <= want and got4 <= want      # no false positives ever
+    r1 = len(got1) / len(want)
+    r4 = len(got4) / len(want)
+    assert r4 >= r1                           # OR-construction only adds recall
+    assert r4 >= 0.8, (r1, r4)                # 4 tables reach useful recall
+
+
+def test_embedding_dim_mismatch_fails_loudly(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0])]  # a 2-dim stray among 4-dim vectors
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with pytest.raises(Exception, match="dim mismatch"):
+        similarity.embedding_near_dup_pairs(emb, threshold=0.5, dim=4).collect()
+    with pytest.raises(Exception, match="dim mismatch"):
+        similarity.lsh_topk(emb, emb.limit(1), k=2, dim=4).collect()

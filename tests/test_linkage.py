@@ -255,3 +255,58 @@ def test_entity_profiles_golden_record(spark):
     assert prof["e1"]["area"] == "Gulshan" and prof["e1"]["postal_code"] == "1212"
     assert prof["e1"]["n_members"] == 3
     assert prof["e2"]["flat_number"] == "A-3" and prof["e2"]["n_members"] == 1
+
+
+def test_sparse_district_only_mentions_stay_apart(spark):
+    """Deliberate divergence from the reference's O(n^2) compare: a rich
+    mention (postal+house) and a district-only mention share no block
+    key, so the 1.0-on-one-shared-component pair the reference would
+    score is never generated — it would transitively weld every entity
+    of a district into one (see blocking_keys docstring)."""
+    df = spark.createDataFrame(
+        [
+            ("r1", "house 12, road 5, mirpur, dhaka", "1216", "Dhaka", "12", "Mirpur"),
+            ("s1", "somewhere in dhaka", None, "Dhaka", None, None),
+        ],
+        "mention_id string, normalized string, postal_code string, "
+        "district string, house_number string, area string",
+    )
+    keys = blocking_keys(df, use_minhash=False)
+    pairs = candidate_pairs(keys).collect()
+    assert pairs == []
+    # the sparse mention still has its last-resort bare key
+    bare = {r["block_key"] for r in keys.filter(F.col("mention_id") == "s1").collect()}
+    assert any(k.startswith("d:") and k.count(":") == 1 for k in bare)
+
+
+def test_blocking_keys_missing_columns_degrade(spark):
+    df = spark.createDataFrame(
+        [("m1", "house 5 gulshan"), ("m2", "house 5, gulshan")],
+        "mention_id string, normalized string",
+    )
+    # no postal/district/house/area columns: only band keys remain
+    keys = blocking_keys(df)
+    fams = {r["block_key"].split(":")[0] for r in keys.collect()}
+    assert fams == {"m"}
+
+
+def test_empty_text_mentions_emit_no_band_keys(spark):
+    df = spark.createDataFrame(
+        [("m1", ""), ("m2", None), ("m3", "   ,, "), ("m4", "plot 9 uttara")],
+        "mention_id string, normalized string",
+    )
+    keys = blocking_keys(df, postal_col=None, district_col=None)
+    ids = {r["mention_id"] for r in keys.collect()}
+    assert ids == {"m4"}  # contentless rows form no junk mega-block
+
+
+def test_band_count_must_divide_seeds(spark):
+    from ai_bangladesh_address_parser_spark.operators.blocking import (
+        minhash_band_keys,
+    )
+
+    df = spark.createDataFrame([("m1", "a b c d")], "mention_id string, normalized string")
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_band_keys(df, n_seeds=8, n_bands=3)
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_band_keys(df, n_seeds=8, n_bands=9)
