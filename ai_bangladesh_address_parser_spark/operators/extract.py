@@ -235,6 +235,18 @@ def regex_evidence(mentions: DataFrame, id_col: str = "mention_id",
     return ev
 
 
+def charset_jaccard(a, b):
+    """Character-set Jaccard similarity — the reference's fuzzy charset
+    test (gazetteer.py:321-377): distinct characters, |∩| / |∪|. ONE
+    definition shared by the fuzzy-area and position-area strategies,
+    which differ only in their prefix/gating rules."""
+    chars = lambda c: F.array_distinct(F.filter(F.split(c, ""), lambda x: x != ""))  # noqa: E731
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.size(F.array_intersect(chars(a), chars(b))) / \
+        F.size(F.array_union(chars(a), chars(b))).cast("double")
+
+
 def _token_candidates(mentions: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Explode comma-parts and word n-grams (1-2) as lowercase lookup keys,
     with positional metadata for confidence rules."""
@@ -585,10 +597,10 @@ def fuzzy_area_evidence(
         whole text (the `_fuzzy_match_area` call inside validation,
         gazetteer.py:321-377) — full-text fuzzy here would override
         legitimate unknown areas with prefix-collision junk."""
-    spark0 = mentions.sparkSession
+    spark = mentions.sparkSession
     known_names = F.broadcast(
-        gz.areas_df(spark0).select(F.lower("area").alias("k"))
-        .unionByName(gz.area_variants_df(spark0).select(F.col("variant").alias("k")))
+        gz.areas_df(spark).select(F.lower("area").alias("k"))
+        .unionByName(gz.area_variants_df(spark).select(F.col("variant").alias("k")))
         .distinct()
     )
     # single scan of the evidence union feeds all three gates below
@@ -633,9 +645,7 @@ def fuzzy_area_evidence(
         F.broadcast(areas), "pfx"
     ).filter(F.col("key") != F.col("area_lc"))  # exact hits belong to vocab_evidence
 
-    chars = lambda c: F.array_distinct(F.filter(F.split(c, ""), lambda x: x != ""))  # noqa: E731
-    jac = F.size(F.array_intersect(chars(F.col("key")), chars(F.col("area_lc")))) / \
-        F.size(F.array_union(chars(F.col("key")), chars(F.col("area_lc")))).cast("double")
+    jac = charset_jaccard("key", "area_lc")
     # ONE best area per mention — the reference keeps a single
     # best_match across its strategy loop (gazetteer.py:244-320,
     # score `>` comparisons), never a candidate set. Best = highest
@@ -722,9 +732,7 @@ def position_area_evidence(
                 F.lit("gazetteer_position_exact").alias("source"))
     )
     fz = areas.withColumn("pfx", F.substring("area_lc", 1, 4))
-    chars = lambda c: F.array_distinct(F.filter(F.split(c, ""), lambda x: x != ""))  # noqa: E731
-    jac = F.size(F.array_intersect(chars(F.col("w")), chars(F.col("area_lc")))) / \
-        F.size(F.array_union(chars(F.col("w")), chars(F.col("area_lc")))).cast("double")
+    jac = charset_jaccard("w", "area_lc")
     fuzzy = (
         toks.withColumn("pfx", F.substring("w", 1, 4))
         .join(F.broadcast(fz), "pfx")
@@ -894,11 +902,13 @@ def geo_evidence(
     evidence, and Stage-8 voting decides (geographic weight 0.95 ×
     0.90 beats a sub-vocabulary positional candidate).
 
-    Spark shape: one token explode of the no-area subset, two broadcast
-    hash joins against the upazila/union dims (the reference's
-    substring scan over dicts, restricted to token boundaries), then a
-    per-mention argmax. The reference takes the first dict hit — we pin
-    the total order (longest name, then greatest name).
+    Spark shape: one token explode over ALL mentions (the containment
+    gate above decides per hit, so no-area pre-filtering would change
+    semantics), two broadcast hash joins against the upazila/union dims
+    (the reference's substring scan over dicts, restricted to token
+    boundaries), then a per-mention argmax. The reference takes the
+    first dict hit — we pin the total order (longest name, then
+    greatest name).
     """
     from ..data import geo_hierarchy as gh
 
@@ -919,7 +929,11 @@ def geo_evidence(
                 .select("mention_id").distinct())
 
     all_m = mentions.select(F.col(id_col).alias("mention_id"), F.col(text_col))
-    toks = _token_candidates(all_m, "mention_id", text_col).select("mention_id", "key")
+    # toks feeds the upazila AND union joins; uhits/nhits below feed
+    # 3-4 union branches each — cut lineage so the full-corpus token
+    # explode is not replicated per consumer (same pattern as ev_idx)
+    toks = (_token_candidates(all_m, "mention_id", text_col)
+            .select("mention_id", "key").localCheckpoint(eager=False))
 
     # existing area evidence values, for the containment gate
     area_ev_vals = (ev_idx.filter(F.col("component") == "area")
@@ -945,8 +959,10 @@ def geo_evidence(
             ).alias("m"))
         )
 
-    uhits = hits(gh.upazilas_df(spark))
-    nhits = hits(gh.unions_df(spark)).join(uhits.select("mention_id"), "mention_id", "left_anti")
+    uhits = hits(gh.upazilas_df(spark)).localCheckpoint(eager=False)
+    nhits = (hits(gh.unions_df(spark))
+             .join(uhits.select("mention_id"), "mention_id", "left_anti")
+             .localCheckpoint(eager=False))
 
     def emit(src_hits, comp, value_col, conf, source, only_missing=None):
         out = src_hits

@@ -26,11 +26,8 @@ from ..reference_semantics import DEFAULT_SOURCE_WEIGHT, SOURCE_WEIGHTS
 
 
 def _weight_expr(source):
-    w = F.lit(DEFAULT_SOURCE_WEIGHT)
-    expr = None
     mapping = F.create_map(*[F.lit(x) for kv in SOURCE_WEIGHTS.items() for x in kv])
-    expr = F.coalesce(mapping[source], w)
-    return expr
+    return F.coalesce(mapping[source], F.lit(DEFAULT_SOURCE_WEIGHT))
 
 
 def resolve_evidence(evidence: DataFrame, thresholds: dict[str, float] | None = None) -> DataFrame:

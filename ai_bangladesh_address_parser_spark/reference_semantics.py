@@ -146,6 +146,18 @@ def compare_components(c1: dict, c2: dict) -> dict:
             "similarity": avg, "component_similarities": sims}
 
 
+# Byte-faithful mirror of the reference's calibrated table
+# (conflict_resolver.py:13-27) INCLUDING its emitted-vs-weighted name
+# drift: the reference lists 'geographic_inferred_from_area'/'_from_
+# district' here, but its validator actually emits 'geographic_
+# inferred_from_upazila' (geographic_validator.py:200,206) and its
+# gazetteer emits 'gazetteer_position_exact'/'_fuzzy'
+# (gazetteer.py:232,242) — all three fall through to the 0.5 default
+# (`self.weights.get(source, 0.5)`, conflict_resolver.py:102) in the
+# reference exactly as they do here. "Fixing" the table would change
+# Stage-8 vote outcomes away from reference parity (e.g. a position-
+# strategy exact hit would start beating a fuzzy correction), so the
+# drift is preserved deliberately.
 SOURCE_WEIGHTS = {
     "regex": 1.00, "gazetteer_validated": 0.95, "fsm": 0.90,
     "spacy_ner": 0.85, "gazetteer_corrected": 0.85,
