@@ -1974,7 +1974,8 @@ def oracle_sql() -> dict[str, str]:
             offs as (select media_id, g.o as byte_offset,
                             row_number() over (partition by media_id order by g.o) - 1 as frame_idx
                      from m cross join
-                          unnest(generate_series(0, greatest(n_bytes - 1, 0), 256)) as g(o))
+                          unnest(generate_series(0, n_bytes - 1, 256)) as g(o)
+                     where n_bytes > 0)
             select media_id, cast(frame_idx as bigint) as frame_idx,
                    cast(byte_offset as bigint) as byte_offset
             from offs where frame_idx < 5
@@ -1992,7 +1993,7 @@ def oracle_sql() -> dict[str, str]:
             select doc_id,
                    case when total = 0 then 'und'
                         when bn > ascii_a and bn > 0 then 'bn'
-                        when ascii_a > 0 and (en_hits > 0 or bn_hits = 0) then 'en'
+                        when ascii_a > bn and en_hits > 0 then 'en'
                         else 'und' end as pred_lang,
                    en_hits as en_stopword_types,
                    bn as bangla_chars

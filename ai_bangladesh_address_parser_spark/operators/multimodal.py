@@ -117,10 +117,16 @@ def frame_sample_plan(
     expensive per-frame decode UDF downstream sees pre-sharded work.
     Payload bytes are NOT copied per frame — only (media_id, offset)."""
     n = F.col("meta.n_bytes")
-    offsets = F.slice(
-        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes)),
-        1,
-        max_frames,
+    # zero-byte payloads sample NO frames: the greatest(n-1, 0) clamp
+    # alone would emit a frame at offset 0 of a payload with no bytes
+    # (null array → posexplode drops the row)
+    offsets = F.when(
+        n > 0,
+        F.slice(
+            F.sequence(F.lit(0), n - 1, F.lit(every_n_bytes)),
+            1,
+            max_frames,
+        ),
     )
     return media.select(
         "media_id", "meta", F.posexplode(offsets).alias("frame_idx", "byte_offset")

@@ -86,7 +86,20 @@ def ner_evidence(
     confidence=0.85, source='spacy_ner'); first hit per component wins
     (reference first-occurrence rule)."""
     if model == "spacy":
-        _spacy_model(model_path or "")  # fail fast on the driver
+        # fail fast on the driver WITHOUT loading the model (spacy.load
+        # is hundreds of MB + seconds, and the pipeline is re-loaded
+        # inside each executor iterator anyway — validating here only
+        # needs the package and the path to exist)
+        import importlib.util
+        import os
+
+        if importlib.util.find_spec("spacy") is None:
+            raise ModuleNotFoundError("spacy is not installed")
+        p = model_path or ""
+        # path-shaped arguments must exist; bare package names
+        # ("en_core_web_sm") resolve inside spacy.load on the executors
+        if p and os.sep in p and not os.path.exists(p):
+            raise FileNotFoundError(f"spaCy model path not found: {p!r}")
     elif model != "heuristic":
         raise ValueError(f"unknown ner model {model!r}")
 

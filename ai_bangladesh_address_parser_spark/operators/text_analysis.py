@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..functions.script import _ASCII_ALPHA, _BANGLA_CLASS, _count_matches
 from .dedup import tokens_expr
 
 # Small, fixed stopword lists (public, high-frequency function words).
@@ -34,15 +35,20 @@ def langid_cols(text_col: str = "text") -> dict[str, Column]:
     """
     c = F.col(text_col)
     total = F.length(c)
-    bangla = F.length(c) - F.length(F.regexp_replace(c, "[ঀ-৿]", ""))
-    ascii_alpha = F.length(c) - F.length(F.regexp_replace(c, "[A-Za-z]", ""))
+    # same char classes as functions.script (one definition of "Bangla
+    # char" / "ASCII letter" across both classifiers)
+    bangla = _count_matches(c, _BANGLA_CLASS)
+    ascii_alpha = _count_matches(c, _ASCII_ALPHA)
     toks = tokens_expr(c)
     en_hits = _count_in(toks, EN_STOPWORDS)
     bn_hits = _count_in(toks, BN_STOPWORDS)
     lang = (
         F.when(total == 0, F.lit("und"))
         .when((bangla > ascii_alpha) & (bangla > 0), F.lit("bn"))
-        .when((ascii_alpha > 0) & ((en_hits > 0) | (bn_hits == 0)), F.lit("en"))
+        # en needs BOTH dominance and stopword support — without the
+        # en_hits requirement every Latin-script gibberish page would
+        # classify 'en' and 'und' would be unreachable for ASCII text
+        .when((ascii_alpha > bangla) & (en_hits > 0), F.lit("en"))
         .otherwise(F.lit("und"))
     )
     return {

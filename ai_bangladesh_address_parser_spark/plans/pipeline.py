@@ -124,6 +124,20 @@ class StageStore:
             self.snapshots[stage] = snap["snapshot_id"]
         return spark.table(ident).drop(*self._LINEAGE)
 
+    def will_resume(self, spark: SparkSession, stage: str) -> bool:
+        """True iff ``through()`` would short-circuit to the stored
+        stage. Callers use this to skip EAGER side computations (e.g.
+        the gate-stats aggregate) whose input plan would otherwise
+        execute the full upstream scan just to be thrown away when the
+        stage loads from its last complete snapshot."""
+        if self.catalog is not None:
+            return self.resume and spark.catalog.tableExists(
+                f"{self.catalog}.{self.job_id}.{stage}")
+        if self.base is None:
+            return False
+        return self.resume and os.path.exists(
+            os.path.join(self.base, stage, "_SUCCESS"))
+
     def through(self, spark: SparkSession, stage: str, df: DataFrame) -> DataFrame:
         if self.catalog is not None:
             return self._through_iceberg(spark, stage, df)
@@ -264,7 +278,12 @@ class LinkagePlan:
             uniq = (keyed.select("norm_key", "normalized")
                     .dropDuplicates(["norm_key"])
                     .localCheckpoint(eager=False))
-            if self.gate:
+            # skip the EAGER stats aggregate when s1 will load from its
+            # stored snapshot — otherwise a resumed run pays the full
+            # pages scan + dedup shuffle just to discard the plan
+            # (gate_stats stays None on resume; the stored stage is the
+            # source of truth for its rows)
+            if self.gate and not self.store.will_resume(self.spark, "s1_mentions"):
                 # one scalar metrics aggregate over the (materialized-
                 # anyway) unique-mention checkpoint; Observation can't
                 # ride here — the CollectMetrics node executes during
@@ -289,7 +308,7 @@ class LinkagePlan:
             )
         else:
             keyed = keyed.localCheckpoint(eager=False)
-            if self.gate:
+            if self.gate and not self.store.will_resume(self.spark, "s1_mentions"):
                 # same skip accounting as the dedup branch ("unique"
                 # here means raw mentions — no dedup ran); metrics()
                 # must report s1_gate whenever rows are being skipped

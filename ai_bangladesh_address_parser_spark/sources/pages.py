@@ -132,7 +132,11 @@ def synth_pages(
         # (house, road) digit separability is untouched, so truth ids
         # and the ≤0.80 cross-entity score margin still hold (postal+
         # area+district+division weights sum to 0.80 < 0.85 threshold).
-        hot = (F.col("e") % 10) < int(round(hot_postal_frac * 10))
+        # Permille resolution over a hashed entity id: the previous
+        # tenths quantization (e % 10 < round(frac*10)) silently zeroed
+        # any fraction < 0.05 (banker's rounding) and bent 0.15 to 0.2;
+        # hashing keeps the fraction exact even when n_entities < 1000.
+        hot = F.pmod(F.xxhash64(F.col("e")), F.lit(1000)) < int(hot_postal_frac * 1000)
         postal = F.when(hot, F.lit("1212")).otherwise(postal)
 
     addr = (
@@ -196,18 +200,11 @@ def write_banded(
     a band column + ``partitionBy`` — one pass, no driver routing, and
     downstream ``reprocess <band>`` jobs get partition pruning for free.
     """
-    c = F.col(confidence_col)
-    band = (
-        F.when(c.isNull() | (c <= 0), F.lit("band_none"))
-        .when(c >= 0.95, F.lit("band_95_100"))
-        .when(c >= 0.90, F.lit("band_90_95"))
-        .when(c >= 0.85, F.lit("band_85_90"))
-        .when(c >= 0.80, F.lit("band_80_85"))
-        .when(c >= 0.70, F.lit("band_70_80"))
-        .when(c >= 0.60, F.lit("band_60_70"))
-        .when(c >= 0.50, F.lit("band_50_60"))
-        .otherwise(F.lit("band_00_50"))
-    )
+    from ..functions.format import confidence_band_expr
+
+    # ONE band rule (functions.format.CONFIDENCE_BANDS) shared with the
+    # A4 histogram — the sink and the report can't silently diverge
+    band = confidence_band_expr(confidence_col)
     df.withColumn("band", band).write.mode("overwrite").partitionBy("band").format(fmt).save(path)
 
 

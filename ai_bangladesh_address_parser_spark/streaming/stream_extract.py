@@ -72,9 +72,17 @@ def run_incremental_extract(
     available_now: bool = True,
 ):
     """Micro-batch S1: per landed batch of pages, run the full batch
-    extraction (evidence battery + resolve) and append the wide
-    mentions rows. Restart-safe via the streaming checkpoint (the
-    streaming twin of plans.pipeline.StageStore resumability)."""
+    extraction (evidence battery + resolve) and write the wide mentions
+    rows partitioned by ``_batch_id``. Restart-safe via the streaming
+    checkpoint (the streaming twin of plans.pipeline.StageStore
+    resumability).
+
+    ``foreachBatch`` is at-least-once: a crash between the write and
+    the checkpoint commit re-runs the batch on restart. Idempotence
+    comes from the write shape, not the trigger — each batch overwrites
+    ONLY its own ``_batch_id=<n>`` partition (dynamic partition
+    overwrite), so a replayed batch replaces its rows instead of
+    appending a duplicate set."""
     from ..plans.pipeline import LinkagePlan
 
     pages = read_page_stream(spark, input_dir)
@@ -85,7 +93,10 @@ def run_incremental_extract(
         plan = LinkagePlan(batch_df.sparkSession)
         wide = plan.extract(batch_df)
         (wide.withColumn("_batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(output_dir))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("_batch_id")
+             .parquet(output_dir))
 
     writer = (
         pages.writeStream.foreachBatch(_process)

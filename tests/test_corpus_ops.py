@@ -220,3 +220,37 @@ def test_embedding_dim_mismatch_fails_loudly(spark):
         similarity.embedding_near_dup_pairs(emb, threshold=0.5, dim=4).collect()
     with pytest.raises(Exception, match="dim mismatch"):
         similarity.lsh_topk(emb, emb.limit(1), k=2, dim=4).collect()
+
+
+def test_langid_gibberish_is_und(spark):
+    from ai_bangladesh_address_parser_spark.operators.text_analysis import (
+        langid_cols,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "asdfgh qwerty zxcvb"),        # Latin gibberish: no stopwords
+         (1, "the committee met today"),     # real English
+         (2, "12345 67890"),                 # digits only: no letters
+         (3, "")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.lang for r in df.select(
+        "doc_id", langid_cols("text")["pred_lang"].alias("lang")).collect()}
+    assert got == {0: "und", 1: "en", 2: "und", 3: "und"}
+
+
+def test_frame_sample_zero_byte_payload(spark):
+    from ai_bangladesh_address_parser_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    media = spark.createDataFrame(
+        [("m0", {"n_bytes": 0}), ("m1", {"n_bytes": 600})],
+        "media_id string, meta struct<n_bytes:bigint>",
+    )
+    rows = frame_sample_plan(media, every_n_bytes=256, max_frames=8).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r.byte_offset)
+    assert "m0" not in by_id                 # no frames for no bytes
+    assert by_id["m1"] == [0, 256, 512]
