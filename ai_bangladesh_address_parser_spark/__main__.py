@@ -33,13 +33,21 @@ import sys
 
 
 def _session(app: str):
-    # getOrCreate so spark-submit's --master/--conf win; local runs fall
-    # back to the tuned defaults of session.get_spark only when nothing
-    # is configured.
-    from pyspark.sql import SparkSession
+    # Under spark-submit (spark.master present in the JVM system
+    # properties) the submitted --master/--conf win wholesale; a bare
+    # `python -m` run gets session.get_spark's tuned defaults (UTC
+    # session timezone, ansi off for oracle-deterministic math, Arrow
+    # on) instead of Spark's bare defaults — the engine's other entry
+    # points all run under those semantics.
+    from pyspark import SparkConf
 
-    b = SparkSession.builder.appName(app)
-    return b.getOrCreate()
+    if SparkConf().contains("spark.master"):
+        from pyspark.sql import SparkSession
+
+        return SparkSession.builder.appName(app).getOrCreate()
+    from .session import get_spark
+
+    return get_spark(app)
 
 
 def _read(spark, path: str, fmt: str):

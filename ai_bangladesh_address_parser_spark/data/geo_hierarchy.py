@@ -8,10 +8,11 @@ Real scale: 598 upazilas (each carrying a ``postalCode``), 3,215 unions,
 dimension tables produced by ``spark.read.json`` + ``explode`` — this
 module provides
 
-  * a **deterministic synthetic hierarchy** (FIXTURES.md F3 shape:
-    ~50 upazilas / 150 unions / 100 villages, Dhaka hot so skew
-    handling is exercised; every upazila's district exists in
-    ``gazetteer.DISTRICT_DIVISION``; postal codes unique per upazila),
+  * a **deterministic synthetic hierarchy** (FIXTURES.md F3 shape, at
+    reference density via ``data.dims``: 598 upazilas / 3,215 unions /
+    2,974 villages, Dhaka hot so skew handling is exercised; every
+    upazila's district exists in ``gazetteer.DISTRICT_DIVISION``;
+    postal codes unique per upazila),
   * ``write_division_files`` — serializes it as per-division JSON in
     BOTH reference shape variants (alternating), villages alternating
     dict/plain-string form,
@@ -64,7 +65,18 @@ def villages_df(spark: SparkSession) -> DataFrame:
 
 
 def _division_tree(division: str) -> list[dict]:
-    """Nested district objects for one division."""
+    """Nested district objects for one division.
+
+    Pre-grouped lookups: at reference density (598/3,215/2,974) the
+    naive per-upazila rescans of UNIONS and VILLAGES were ~10M pure-
+    Python comparisons per serialization (multi-second fixture setup in
+    every test that writes the hierarchy)."""
+    unions_by_up: dict[str, list[str]] = {}
+    for un, up, *_ in UNIONS:
+        unions_by_up.setdefault(up, []).append(un)
+    villages_by_un: dict[str, list[str]] = {}
+    for v, u, *_ in VILLAGES:
+        villages_by_un.setdefault(u, []).append(v)
     out = []
     present = {d for _, d, _, _ in UPAZILAS}
     districts = [d for d, _ in DISTRICT_DIVISION if d in present]
@@ -75,12 +87,8 @@ def _division_tree(division: str) -> list[dict]:
         for name, d, _dv, code in UPAZILAS:
             if d != district:
                 continue
-            uns = []
-            for un, up, *_ in UNIONS:
-                if up != name:
-                    continue
-                vs = [v for v, u, *_ in VILLAGES if u == un]
-                uns.append({"name": un, "villages": vs})
+            uns = [{"name": un, "villages": villages_by_un.get(un, [])}
+                   for un in unions_by_up.get(name, [])]
             ups.append({"name": name, "postalCode": code, "unions": uns})
         out.append({"name": district, "division": division, "upazilas": ups})
     return out

@@ -333,6 +333,7 @@ def run_skew() -> dict:
     # sort-merge join (or any engine/config without runtime skew
     # handling); reporting both isolates the two mechanisms.
     timed_pairs()
+    timed_pairs(hot_cap=2**60)  # the unsalted join shape JITs separately
     for aqe in ("true", "false"):
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         mode = "aqe_on" if aqe == "true" else "aqe_off"
@@ -591,8 +592,14 @@ def run_scaling(
         out = subprocess.run(
             cmd, capture_output=True, text=True, timeout=3600,
         )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        r = json.loads(line)
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if out.returncode != 0 or not lines:
+            # surface the child's actual failure instead of an IndexError
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(
+                f"--score-bench child (cpus={cpus}) failed with "
+                f"rc={out.returncode}; stderr above")
+        r = json.loads(lines[-1])
         raw.append(r)
         key = f"local[{cpus}]"
         if key not in results or r["pairs_per_sec"] > results[key]["pairs_per_sec"]:

@@ -33,6 +33,8 @@ def canon(v):
         # fix the oracle SQL with explicit casts instead.
         return "dec:" + str(v)
     if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return f"f:{v}"  # NaN/Inf must FAIL the query, not crash the harness
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.6f}".rstrip("0").rstrip(".")
@@ -50,8 +52,17 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    # an sf_dir argument must BE a directory — a typo'd path must not
+    # silently become a query-name filter (zero queries run, exit 0,
+    # false "N/N pass")
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if args and ("/" in args[0] or os.sep in args[0]):
+        if not os.path.isdir(args[0]):
+            print(f"error: sf_dir {args[0]!r} does not exist", file=sys.stderr)
+            sys.exit(2)
+        sf_dir, args = args[0], args[1:]
+    only = set(args)
 
     from ai_bangladesh_address_parser_spark.session import get_spark
     import __spark_entry__ as E
@@ -64,10 +75,15 @@ def main():
             con.execute(f"create view {t} as select * from '{p}'")
 
     qs, os_ = E.queries(), E.oracle_sql()
-    failures = []
+    unknown = only - set(qs)
+    if unknown:
+        print(f"error: unknown queries {sorted(unknown)}", file=sys.stderr)
+        sys.exit(2)
+    failures, n_run = [], 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -113,7 +129,8 @@ def main():
         else:
             print(f"PASS {name}: {len(srows)} rows match [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    print(f"\n{n_run - len(failures)}/{n_run} queries pass"
+          + ("" if n_run == len(qs) else f" ({len(qs) - n_run} filtered out)"))
     sys.exit(1 if failures else 0)
 
 

@@ -111,8 +111,6 @@ def evaluate(records=None, show_miss: str | None = None,
     # 1205-1257): the extractor's gazetteer is built from the batch's
     # own labeled input, so candidate generation knows every labeled
     # area. Labels are normalized like mention text before keying.
-    from pyspark.sql import functions as SF
-
     from ai_bangladesh_address_parser_spark.operators.gazetteer_build import (
         area_vocab_from_labeled,
         build_gazetteer,
@@ -122,7 +120,7 @@ def evaluate(records=None, show_miss: str | None = None,
           r["components"].get("division") or "", r["components"].get("postal_code") or "")
          for r in (vocab_records if vocab_records is not None else records)],
         "area string, district string, division string, postal_code string",
-    ).withColumn("area", normalize_expr(SF.col("area")))
+    ).withColumn("area", normalize_expr(F.col("area")))
     gazetteer = build_gazetteer(lab)
     area_vocab = area_vocab_from_labeled(lab)
     from ai_bangladesh_address_parser_spark.functions.country import with_country
@@ -157,7 +155,10 @@ def evaluate(records=None, show_miss: str | None = None,
 if __name__ == "__main__":
     show = None
     if "--show-miss" in sys.argv:
-        show = sys.argv[sys.argv.index("--show-miss") + 1]
+        i = sys.argv.index("--show-miss") + 1
+        if i >= len(sys.argv) or sys.argv[i].startswith("--"):
+            sys.exit("usage: eval_golden.py [--show-miss COMPONENT] [--held-out]")
+        show = sys.argv[i]
     if "--held-out" in sys.argv:
         # generalization split: vocab from the even records, score the
         # odd ones (disjoint halves of the fixture)
