@@ -124,6 +124,11 @@ def test_linkage_end_to_end(spark, sf_dir, tmp_path):
     ids1 = {r.mention_id: r.entity_id for r in ents.collect()}
     ids2 = {r.mention_id: r.entity_id for r in ents2.collect()}
     assert ids1 == ids2
+    # the resumed run must NOT have paid the eager gate-stats scan over
+    # the pages corpus (review fix: stats are skipped on a store hit —
+    # gate_stats stays None, the stored stage is the source of truth)
+    assert plan2.store.will_resume(spark, "s1_mentions")
+    assert plan2.gate_stats is None
 
 
 def test_multi_mention_page(spark):
