@@ -158,3 +158,39 @@ def test_multi_mention_page(spark):
     u3 = ents.filter(F.col("url") == "u3").collect()[0]
     assert u2["entity_id"] == e_dhaka
     assert u3["entity_id"] == e_ctg
+
+
+def test_null_empty_text_pages_are_singletons(spark):
+    """Degenerate inputs: null/empty/whitespace text pages flow through
+    the whole pipeline without error and stay singleton entities (no
+    band keys for contentless rows, no junk mega-block)."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    rows = [
+        ("p://null", None),
+        ("p://empty", ""),
+        ("p://ws", "   "),
+        ("p://real", "House 12, Road 5, Mirpur, Dhaka-1216"),
+        ("p://real2", "house 12 road 5 mirpur dhaka 1216"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string").select(
+        "url",
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("html"),
+        "text",
+        F.lit("en").alias("lang"),
+    )
+    ents = LinkagePlan(spark).run(pages)
+    got = {r.url: r.entity_id for r in ents.collect()}
+    assert set(got) == {r[0] for r in rows}
+    # the two real variants link; the degenerate pages don't join them
+    assert got["p://real"] == got["p://real2"]
+    degenerates = {got["p://null"], got["p://empty"], got["p://ws"]}
+    assert got["p://real"] not in degenerates
+
+
+def test_empty_corpus_yields_zero_rows(spark):
+    pages = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    assert LinkagePlan(spark).run(pages).count() == 0
