@@ -31,8 +31,10 @@ SALT_BUCKETS = 8
 
 
 def minhash_tokens_expr(text_col: str):
-    """Whitespace/comma tokens for minhash banding (lowercased)."""
-    return F.expr(f"filter(split(lower(`{text_col}`), '[\\\\s,]+'), t -> t != '')")
+    """Whitespace/comma tokens for minhash banding (lowercased).
+    ``array_remove`` not a ``filter`` lambda — no interpreted HOF in a
+    whole-corpus projection (split never yields nulls)."""
+    return F.array_remove(F.split(F.lower(F.col(text_col)), r"[\s,]+"), "")
 
 
 def minhash_shingles_expr(text_col: str, k: int = 3):
@@ -49,10 +51,14 @@ def minhash_shingles_expr(text_col: str, k: int = 3):
     """
     toks = minhash_tokens_expr(text_col)
     n = F.size(toks)
-    sh = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
-    )
+    # k-1 zip_with passes over shifted slices, not a transform with
+    # per-index element_at lookups — see dedup.shingles_expr (measured
+    # 7.5x on the document corpus; same construction here)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    sh = F.slice(toks, 1, m)
+    for j in range(1, k):
+        sh = F.zip_with(sh, F.slice(toks, 1 + j, m),
+                        lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
