@@ -76,9 +76,11 @@ def quality_cols(text_col: str = "text") -> dict[str, Column]:
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(F.lit(0.0))
     stop_hits_total = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
     stopword_ratio = F.when(n_tokens > 0, stop_hits_total / n_tokens.cast("double")).otherwise(F.lit(0.0))
+    # sum of token lengths == length of the joined tokens — no
+    # interpreted per-token aggregate lambda in a whole-corpus scan
     mean_tok_len = F.when(
         n_tokens > 0,
-        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_tokens.cast("double"),
+        F.length(F.array_join(toks, "")) / n_tokens.cast("double"),
     ).otherwise(F.lit(0.0))
     len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     stop_score = F.least(stopword_ratio / F.lit(0.2), F.lit(1.0))
