@@ -86,8 +86,8 @@ def minhash_band_keys(
     from .dedup import band_rows, band_signatures, minhash_signatures_long
 
     r = band_rows(n_seeds, n_bands)
-    shingles = F.filter(
-        F.array_distinct(minhash_shingles_expr(text_col)), lambda x: x != ""
+    shingles = F.array_remove(
+        F.array_distinct(minhash_shingles_expr(text_col)), ""
     )
     sig = minhash_signatures_long(
         mentions, id_col=id_col, text_col=text_col, n_hashes=n_seeds,

@@ -104,7 +104,7 @@ def token_count_cols(text_col: str = "text") -> dict[str, Column]:
     (letter-runs, digits, and punctuation each count as one piece —
     the standard cheap estimator for tokenizer budgeting)."""
     c = F.col(text_col)
-    ws = F.size(F.filter(F.split(c, r"\s+"), lambda t: t != ""))
+    ws = F.size(F.array_remove(F.split(c, r"\s+"), ""))
     bpe = F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
     return {"ws_tokens": ws, "bpe_tokens": bpe}
 
