@@ -254,3 +254,37 @@ def test_frame_sample_zero_byte_payload(spark):
         by_id.setdefault(r.media_id, []).append(r.byte_offset)
     assert "m0" not in by_id                 # no frames for no bytes
     assert by_id["m1"] == [0, 256, 512]
+
+
+def test_shingles_expr_matches_python_reference(spark):
+    """Property check for the zip_with shingle rewrite: on 300 seeded
+    random strings (ASCII/Bangla/punctuation soup, length 0-200) the
+    Spark expression equals a straightforward Python reference of the
+    documented semantics (distinct space-joined k-token shingles;
+    whole-text fallback below k tokens)."""
+    import random
+    import re
+
+    rng = random.Random(20260819)
+    alphabet = "abc ঢaকা01 ,.!-\t\n"
+    texts = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 200)))
+             for _ in range(300)]
+
+    def py_shingles(t, k=3):
+        toks = [w for w in re.split(r"[^a-z0-9ঀ-৿]+", t.lower()) if w]
+        if len(toks) >= k:
+            out = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        else:
+            out = [" ".join(toks)]
+        seen, dedup_ = set(), []
+        for s in out:
+            if s not in seen:
+                seen.add(s)
+                dedup_.append(s)
+        return dedup_
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {r.i: list(r.s) for r in
+           df.select("i", dedup.shingles_expr("t").alias("s")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == py_shingles(t), (i, repr(t), got[i], py_shingles(t))
