@@ -15,6 +15,7 @@ Oracle-portability rules used throughout (see SURVEY.md §4):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -116,7 +117,10 @@ def entry(spark: SparkSession) -> DataFrame:
     # driver JVM under local[32].
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     pages, _truth = synth_pages(spark, n_pages=400, n_entities=100, n_partitions=8)
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    # driver contract default; overridable so the smoke runs on hosts
+    # without the /root/testdata layout
+    sf_dir = os.environ.get("SPARK_GRAFT_ENTRY_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
     neg = docs.repartition(8).select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
@@ -321,11 +325,10 @@ def q_p3_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_p1_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1: blocked candidate pairs scored with the JVM levenshtein
-    backend (the 100 TB hot path of operators.scoring)."""
-    from ai_bangladesh_address_parser_spark.operators.scoring import score_pairs
-
+def _name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate-pair builder for the p1/p5 scorer queries (and
+    mirrored by their oracles' pairs CTE): customer names self-joined
+    on (nationkey, mktsegment), id_a < id_b."""
     c = _t(spark, sf_dir, "customer").select(
         F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("cid"),
         F.col("c_nationkey").cast("bigint").alias("nk"),
@@ -334,8 +337,16 @@ def q_p1_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = c.select(F.col("cid").alias("id_a"), "nk", "seg", F.col("cname").alias("name_a"))
     b = c.select(F.col("cid").alias("id_b"), "nk", "seg", F.col("cname").alias("name_b"))
-    pairs = a.join(b, ["nk", "seg"]).filter(F.col("id_a") < F.col("id_b"))
-    scored = score_pairs(pairs, components=["name"], scorer="levenshtein", threshold=0.9)
+    return a.join(b, ["nk", "seg"]).filter(F.col("id_a") < F.col("id_b"))
+
+
+def q_p1_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: blocked candidate pairs scored with the JVM levenshtein
+    backend (the 100 TB hot path of operators.scoring)."""
+    from ai_bangladesh_address_parser_spark.operators.scoring import score_pairs
+
+    scored = score_pairs(_name_pairs(spark, sf_dir), components=["name"],
+                         scorer="levenshtein", threshold=0.9)
     return scored.select(
         "id_a", "id_b", F.round("score", 6).alias("score"), "is_match"
     )
@@ -346,16 +357,8 @@ def q_p5_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-identical to DuckDB's jaro_winkler_similarity."""
     from ai_bangladesh_address_parser_spark.operators.scoring import score_pairs
 
-    c = _t(spark, sf_dir, "customer").select(
-        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("cid"),
-        F.col("c_nationkey").cast("bigint").alias("nk"),
-        F.col("c_mktsegment").alias("seg"),
-        F.col("c_name").alias("cname"),
-    )
-    a = c.select(F.col("cid").alias("id_a"), "nk", "seg", F.col("cname").alias("name_a"))
-    b = c.select(F.col("cid").alias("id_b"), "nk", "seg", F.col("cname").alias("name_b"))
-    pairs = a.join(b, ["nk", "seg"]).filter(F.col("id_a") < F.col("id_b"))
-    scored = score_pairs(pairs, components=["name"], scorer="jaro_winkler", threshold=0.95)
+    scored = score_pairs(_name_pairs(spark, sf_dir), components=["name"],
+                         scorer="jaro_winkler", threshold=0.95)
     return scored.select("id_a", "id_b", F.round("score", 6).alias("jw"))
 
 
@@ -1109,6 +1112,56 @@ def oracle_sql() -> dict[str, str]:
     areas_values = _values_sql(gz.AREAS, ["area", "district", "postal_code"])
     dd_values = _values_sql(gz.DISTRICT_DIVISION, ["district", "division"])
 
+    # ONE copy of the j4/j8 shared pieces so the two oracles cannot
+    # drift: the synthesized (area, district) wide columns and the full
+    # 6-priority postal cascade (j8 simply ignores the confidence
+    # column downstream).
+    geo_wide_cases = """(case c_custkey % 12 when 0 then 'Savar' when 1 then 'Savarhat2'
+                        when 2 then 'Savargram1' when 3 then 'Gulshan' when 4 then 'Gulsh'
+                        when 5 then '' when 6 then 'Patiya' when 7 then 'zzznope'
+                        when 8 then 'Dhaka Sadar' when 9 then 'Dhakapur100hat2'
+                        when 10 then 'Dhakapur100 Bazar'
+                        else 'Mymensinghpur100' end) as area,
+                     (case when c_custkey % 5 <= 2 then 'Dhaka'
+                           when c_custkey % 5 = 3 then 'Chattogram' else '' end) as district"""
+    postal_cascade = f"""missing as (select mention_id, lower(trim(area)) as akey,
+                               lower(trim(district)) as dkey
+                        from wide where postal_code is null or postal_code = ''),
+            up as (select lower(name) as k, lower(district) as d, code as c from {up_values}),
+            un as (select lower(name) as k, lower(district) as d, code as c from {un_values}),
+            vg as (select lower(name) as k, lower(district) as d, code as c from {vg_values}),
+            po as (select lower(post_office) as k, lower(district) as d, code as c from {po_values}),
+            dmin as (select lower(district) as k, min(code) as c from {po_values} group by 1),
+            cands as (
+              select m.mention_id, u.c as code, cast(0.95 as double) as confidence,
+                     'upazila_match' as source, 1 as prio, 0 as tb1
+              from missing m join up u on m.akey = u.k and (m.dkey = '' or m.dkey = u.d)
+                   and u.c != '' where m.akey != ''
+              union all
+              select m.mention_id, u.c, cast(0.90 as double), 'union_match', 2, 0
+              from missing m join un u on m.akey = u.k and (m.dkey = '' or m.dkey = u.d)
+                   and u.c != '' where m.akey != ''
+              union all
+              select m.mention_id, u.c, cast(0.85 as double), 'village_match', 3, 0
+              from missing m join vg u on m.akey = u.k and (m.dkey = '' or m.dkey = u.d)
+                   and u.c != '' where m.akey != ''
+              union all
+              select m.mention_id, p.c, cast(0.80 as double), 'post_office_match', 4, 0
+              from missing m join po p on m.akey = p.k and (m.dkey = '' or m.dkey = p.d)
+                   and p.c != '' where m.akey != ''
+              union all
+              select m.mention_id, p.c, cast(0.70 as double), 'fuzzy_area_match', 5,
+                     -length(p.k)
+              from missing m join po p
+                   on (strpos(m.akey, p.k) > 0 or strpos(p.k, m.akey) > 0)
+                   and (m.dkey = '' or m.dkey = p.d) and p.c != ''
+              where m.akey != ''
+              union all
+              select m.mention_id, dm.c, cast(0.60 as double), 'district_inference', 6, 0
+              from missing m join dmin dm on m.dkey = dm.k where m.dkey != ''),
+            r as (select *, row_number() over (partition by mention_id
+                         order by prio, tb1, code) as rn from cands)"""
+
     # shared fragments
     toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9ঀ-৿]+'), t -> t != '')"
     en_stop = "('the','a','an','and','or','of','in','on','to','is','are','was','for','with','that','this','it','as','at','by','be')"
@@ -1122,8 +1175,11 @@ def oracle_sql() -> dict[str, str]:
       from (select doc_id, {toks} as toks from documents)
     """
 
+    # trim sits BETWEEN whitespace collapse and comma canonicalization,
+    # exactly like normalize_expr (text ending in ',' must normalize to
+    # 'x, ' with the trailing space, as the reference does)
     normalize_chain = """
-      trim(regexp_replace(regexp_replace(
+      regexp_replace(trim(regexp_replace(
         replace(replace(
           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -1147,7 +1203,7 @@ def oracle_sql() -> dict[str, str]:
           '\\bdhakka\\b','Dhaka','gi'), '\\braod\\b','Road','gi'),
           '\\bhose\\b','House','gi'), '\\bhause\\b','House','gi'),
         '#',' No '), ':',' '),
-        '\\s+',' ','g'), '\\s*,\\s*',', ','g'))
+        '\\s+',' ','g')), '\\s*,\\s*',', ','g')
     """
 
     return {
@@ -1166,7 +1222,9 @@ def oracle_sql() -> dict[str, str]:
             select doc_id,
                    round(case when total > 0 then bn/total else 0 end, 6) as bangla_ratio,
                    round(case when total > 0 then en/total else 0 end, 6) as english_ratio,
-                   case when total = 0 then 'neutral'
+                   -- NULL text is 'neutral' like script_cols' isNull branch
+                   -- (a bare CASE would fall through NULL comparisons to 'en')
+                   case when total is null or total = 0 then 'neutral'
                         when bn/total > 0.3 and en/total > 0.3 then 'mixed'
                         when bn/total > en/total then 'bn' else 'en' end as primary_script
             from m
@@ -1317,52 +1375,9 @@ def oracle_sql() -> dict[str, str]:
             with wide as (
               select lpad(cast(c_custkey as varchar),6,'0') as mention_id,
                      case when c_custkey % 3 = 0 then '' else '1212' end as postal_code,
-                     (case c_custkey % 12 when 0 then 'Savar' when 1 then 'Savarhat2'
-                        when 2 then 'Savargram1' when 3 then 'Gulshan' when 4 then 'Gulsh'
-                        when 5 then '' when 6 then 'Patiya' when 7 then 'zzznope'
-                        when 8 then 'Dhaka Sadar' when 9 then 'Dhakapur100hat2'
-                        when 10 then 'Dhakapur100 Bazar'
-                        else 'Mymensinghpur100' end) as area,
-                     (case when c_custkey % 5 <= 2 then 'Dhaka'
-                           when c_custkey % 5 = 3 then 'Chattogram' else '' end) as district
+                     {geo_wide_cases}
               from customer),
-            missing as (select mention_id, lower(trim(area)) as akey,
-                               lower(trim(district)) as dkey
-                        from wide where postal_code is null or postal_code = ''),
-            up as (select lower(name) as k, lower(district) as d, code as c from {up_values}),
-            un as (select lower(name) as k, lower(district) as d, code as c from {un_values}),
-            vg as (select lower(name) as k, lower(district) as d, code as c from {vg_values}),
-            po as (select lower(post_office) as k, lower(district) as d, code as c from {po_values}),
-            dmin as (select lower(district) as k, min(code) as c from {po_values} group by 1),
-            cands as (
-              select m.mention_id, u.c as code, cast(0.95 as double) as confidence,
-                     'upazila_match' as source, 1 as prio, 0 as tb1
-              from missing m join up u on m.akey = u.k and (m.dkey = '' or m.dkey = u.d)
-                   and u.c != '' where m.akey != ''
-              union all
-              select m.mention_id, u.c, cast(0.90 as double), 'union_match', 2, 0
-              from missing m join un u on m.akey = u.k and (m.dkey = '' or m.dkey = u.d)
-                   and u.c != '' where m.akey != ''
-              union all
-              select m.mention_id, u.c, cast(0.85 as double), 'village_match', 3, 0
-              from missing m join vg u on m.akey = u.k and (m.dkey = '' or m.dkey = u.d)
-                   and u.c != '' where m.akey != ''
-              union all
-              select m.mention_id, p.c, cast(0.80 as double), 'post_office_match', 4, 0
-              from missing m join po p on m.akey = p.k and (m.dkey = '' or m.dkey = p.d)
-                   and p.c != '' where m.akey != ''
-              union all
-              select m.mention_id, p.c, cast(0.70 as double), 'fuzzy_area_match', 5,
-                     -length(p.k)
-              from missing m join po p
-                   on (strpos(m.akey, p.k) > 0 or strpos(p.k, m.akey) > 0)
-                   and (m.dkey = '' or m.dkey = p.d) and p.c != ''
-              where m.akey != ''
-              union all
-              select m.mention_id, dm.c, cast(0.60 as double), 'district_inference', 6, 0
-              from missing m join dmin dm on m.dkey = dm.k where m.dkey != ''),
-            r as (select *, row_number() over (partition by mention_id
-                         order by prio, tb1, code) as rn from cands)
+            {postal_cascade}
             select mention_id, code as predicted_postal,
                    confidence as prediction_confidence, source as prediction_source
             from r where rn = 1
@@ -1399,7 +1414,7 @@ def oracle_sql() -> dict[str, str]:
             select mention_id, 'area' as component, area as value,
                    confidence, source
             from r where rn = 1
-        """.format(areas_values=_values_sql(gz.AREAS, ["area", "district", "postal_code"])),
+        """.format(areas_values=areas_values),
         "j9_fuzzy_area": f"""
             with m as (
               select lpad(cast(c_custkey as varchar),6,'0') as mention_id,
@@ -1528,55 +1543,14 @@ def oracle_sql() -> dict[str, str]:
               select lpad(cast(c_custkey as varchar),6,'0') as mention_id,
                      (case c_custkey % 3 when 0 then '' when 1 then '1340'
                         else '1212' end) as postal_code,
-                     (case c_custkey % 12 when 0 then 'Savar' when 1 then 'Savarhat2'
-                        when 2 then 'Savargram1' when 3 then 'Gulshan' when 4 then 'Gulsh'
-                        when 5 then '' when 6 then 'Patiya' when 7 then 'zzznope'
-                        when 8 then 'Dhaka Sadar' when 9 then 'Dhakapur100hat2'
-                        when 10 then 'Dhakapur100 Bazar'
-                        else 'Mymensinghpur100' end) as area,
-                     (case when c_custkey % 5 <= 2 then 'Dhaka'
-                           when c_custkey % 5 = 3 then 'Chattogram' else '' end) as district
+                     {geo_wide_cases}
               from customer),
             ul as (select upazila, string_agg(name, '|' order by name) as unions
                    from {un_values} group by upazila),
             dim as (select u.code, u.name as upazila, coalesce(ul.unions, '') as unions
                     from (select * from {up_values}) u
                     left join ul on u.name = ul.upazila),
-            missing as (select mention_id, lower(trim(area)) as akey,
-                               lower(trim(district)) as dkey
-                        from wide where postal_code is null or postal_code = ''),
-            up as (select lower(name) as k, lower(district) as d, code as c from {up_values}),
-            un as (select lower(name) as k, lower(district) as d, code as c from {un_values}),
-            vg as (select lower(name) as k, lower(district) as d, code as c from {vg_values}),
-            po as (select lower(post_office) as k, lower(district) as d, code as c from {po_values}),
-            dmin as (select lower(district) as k, min(code) as c from {po_values} group by 1),
-            cands as (
-              select m.mention_id, u.c as code, 'upazila_match' as source, 1 as prio, 0 as tb1
-              from missing m join up u on m.akey = u.k and (m.dkey = '' or m.dkey = u.d)
-                   and u.c != '' where m.akey != ''
-              union all
-              select m.mention_id, u.c, 'union_match', 2, 0
-              from missing m join un u on m.akey = u.k and (m.dkey = '' or m.dkey = u.d)
-                   and u.c != '' where m.akey != ''
-              union all
-              select m.mention_id, u.c, 'village_match', 3, 0
-              from missing m join vg u on m.akey = u.k and (m.dkey = '' or m.dkey = u.d)
-                   and u.c != '' where m.akey != ''
-              union all
-              select m.mention_id, p.c, 'post_office_match', 4, 0
-              from missing m join po p on m.akey = p.k and (m.dkey = '' or m.dkey = p.d)
-                   and p.c != '' where m.akey != ''
-              union all
-              select m.mention_id, p.c, 'fuzzy_area_match', 5, -length(p.k)
-              from missing m join po p
-                   on (strpos(m.akey, p.k) > 0 or strpos(p.k, m.akey) > 0)
-                   and (m.dkey = '' or m.dkey = p.d) and p.c != ''
-              where m.akey != ''
-              union all
-              select m.mention_id, dm.c, 'district_inference', 6, 0
-              from missing m join dmin dm on m.dkey = dm.k where m.dkey != ''),
-            r as (select *, row_number() over (partition by mention_id
-                         order by prio, tb1, code) as rn from cands),
+            {postal_cascade},
             pred as (select mention_id, code, source from r where rn = 1)
             select w.mention_id, w.postal_code, w.area, w.district,
                    coalesce(dim.upazila, '') as geo_upazila,
