@@ -33,15 +33,24 @@ import sys
 
 
 def _session(app: str):
-    # Under spark-submit (spark.master present in the JVM system
-    # properties) the submitted --master/--conf win wholesale; a bare
-    # `python -m` run gets session.get_spark's tuned defaults (UTC
-    # session timezone, ansi off for oracle-deterministic math, Arrow
-    # on) instead of Spark's bare defaults — the engine's other entry
-    # points all run under those semantics.
-    from pyspark import SparkConf
+    # Under spark-submit the submitted --master/--conf must win
+    # wholesale; a bare `python -m` run gets session.get_spark's tuned
+    # defaults (UTC session timezone, ansi off for oracle-deterministic
+    # math, Arrow on) instead of Spark's bare defaults. Detection note:
+    # `SparkConf().contains("spark.master")` does NOT work in PySpark
+    # 4.x (a pre-context SparkConf has _jvm=None and an empty local
+    # dict), so probe the launcher's environment instead —
+    # PYSPARK_GATEWAY_PORT/SECRET are set only when the JVM launched
+    # this Python driver (spark-submit of a .py), and SPARK_CONF_DIR /
+    # spark.master in PYSPARK_SUBMIT_ARGS cover client-mode shells.
+    import os
 
-    if SparkConf().contains("spark.master"):
+    submitted = (
+        "PYSPARK_GATEWAY_PORT" in os.environ
+        or "PYSPARK_GATEWAY_SECRET" in os.environ
+        or "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    )
+    if submitted:
         from pyspark.sql import SparkSession
 
         return SparkSession.builder.appName(app).getOrCreate()

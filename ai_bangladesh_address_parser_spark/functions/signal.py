@@ -183,13 +183,18 @@ def _build_pattern(extra_terms: tuple[str, ...] = ()) -> str:
     subs |= {t.lower() for t in extra_terms if t}
     bounded, plain = _fuzzy_prefix_terms()
     subs |= set(plain)
+    # subs is seeded from _KEYWORDS and must never be empty: an empty
+    # trie emits '(?:)' which matches everywhere and would silently
+    # turn the gate into pass-everything
+    assert subs, "gate substring vocabulary is empty"
     # digit class first: most address-bearing text exits on it at the
     # first digit position, long before the alternation is tried
-    return (
-        "[0-9০-৯]|"
-        + _trie_regex(sorted(subs))
-        + r"|\b" + _trie_regex(bounded)
-    )
+    pat = "[0-9০-৯]|" + _trie_regex(sorted(subs))
+    # the \b-anchored arm only when there are ASCII prefixes to anchor:
+    # '\b(?:)' would match at any word boundary (gate-defeating)
+    if bounded:
+        pat += r"|\b" + _trie_regex(bounded)
+    return pat
 
 
 SIGNAL_PATTERN = _build_pattern()

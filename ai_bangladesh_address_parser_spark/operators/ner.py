@@ -96,10 +96,21 @@ def ner_evidence(
         if importlib.util.find_spec("spacy") is None:
             raise ModuleNotFoundError("spacy is not installed")
         p = model_path or ""
-        # path-shaped arguments must exist; bare package names
-        # ("en_core_web_sm") resolve inside spacy.load on the executors
-        if p and os.sep in p and not os.path.exists(p):
-            raise FileNotFoundError(f"spaCy model path not found: {p!r}")
+        # fail fast on the driver for anything that is neither an
+        # existing path nor an importable package — a bare single
+        # segment like "mymodel" is otherwise only discovered to be a
+        # missing directory inside executor tasks
+        if p and not os.path.exists(p):
+            if os.sep in p:
+                raise FileNotFoundError(f"spaCy model path not found: {p!r}")
+            try:
+                resolvable = importlib.util.find_spec(p) is not None
+            except (ImportError, ValueError):
+                resolvable = False
+            if not resolvable:
+                raise FileNotFoundError(
+                    f"spaCy model {p!r} is neither an existing path nor an installed package"
+                )
     elif model != "heuristic":
         raise ValueError(f"unknown ner model {model!r}")
 

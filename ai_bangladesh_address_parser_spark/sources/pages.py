@@ -136,7 +136,8 @@ def synth_pages(
         # tenths quantization (e % 10 < round(frac*10)) silently zeroed
         # any fraction < 0.05 (banker's rounding) and bent 0.15 to 0.2;
         # hashing keeps the fraction exact even when n_entities < 1000.
-        hot = F.pmod(F.xxhash64(F.col("e")), F.lit(1000)) < int(hot_postal_frac * 1000)
+        # round, don't truncate: 0.29*1000 is 289.999… in binary float
+        hot = F.pmod(F.xxhash64(F.col("e")), F.lit(1000)) < int(round(hot_postal_frac * 1000))
         postal = F.when(hot, F.lit("1212")).otherwise(postal)
 
     addr = (

@@ -57,7 +57,10 @@ def main():
     # false "N/N pass")
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
-    if args and ("/" in args[0] or os.sep in args[0]):
+    # args[0] is the sf_dir when it IS a directory (covers bare
+    # relative names like 'sf0.01') or is path-shaped; a path-shaped
+    # non-directory stays a loud error rather than a query filter
+    if args and (os.path.isdir(args[0]) or "/" in args[0] or os.sep in args[0]):
         if not os.path.isdir(args[0]):
             print(f"error: sf_dir {args[0]!r} does not exist", file=sys.stderr)
             sys.exit(2)
