@@ -864,6 +864,37 @@ def q_t10_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ner_evidence(mentions)
 
 
+def q_t13_ner_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 learned path: the averaged-perceptron BIO tagger trained on
+    the reference's public span data (tools/train_ner.py; weights ship
+    in the package). A trained model is not SQL-expressible, so this is
+    a rows-only driver check; decode determinism, held-out span F1 and
+    the Spark-side evidence contract are pinned in
+    tests/test_ner_learned.py. Templates mirror t10's four shapes in
+    the comma-separated style the training corpus uses."""
+    c = _t(spark, sf_dir, "customer")
+    h = (F.col("c_custkey") % 90 + 1).cast("string")
+    r = (F.col("c_custkey") % 12 + 1).cast("string")
+    tmpl = (
+        F.when(F.col("c_custkey") % 4 == 0,
+               F.concat(F.lit("House "), h, F.lit(", Road "), r,
+                        F.lit(", Dhanmondi, Dhaka-1209")))
+        .when(F.col("c_custkey") % 4 == 1,
+              F.concat(F.lit("H-"), h, F.lit("/2, R-"), r, F.lit(", Mirpur, Dhaka")))
+        .when(F.col("c_custkey") % 4 == 2,
+              F.concat(F.lit("Flat 5E, House "), h, F.lit(", Road "), r,
+                       F.lit(", Gulshan, Dhaka 1212")))
+        .otherwise(F.concat(F.lit("the meeting notes mention number "), h))
+    )
+    mentions = c.select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id"),
+        tmpl.alias("normalized"),
+    )
+    from ai_bangladesh_address_parser_spark.operators.ner import ner_evidence
+
+    return ner_evidence(mentions, model="perceptron")
+
+
 def q_x7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via 4-table hyperplane-
     bucket self-join (OR-construction over plane sets — the recall
@@ -1068,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_ann_lsh": q_x6_ann_lsh,
         "x7_embedding_neardup": q_x7_embedding_neardup,
         "t10_ner": q_t10_ner,
+        "t13_ner_learned": q_t13_ner_learned,
         "m1_media_features": q_m1_media_features,
         "m2_frame_sample": q_m2_frame_sample,
         "s9_stream_extract": q_s9_stream_extract,

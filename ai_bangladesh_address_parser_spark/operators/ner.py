@@ -11,6 +11,12 @@ container, so the model hook is pluggable:
     shape the spaCy stage produces. The Spark plumbing (iterator-form
     mapInPandas, per-partition init, evidence long-format output,
     threshold filter) is identical to what a real model would use.
+  * ``model="perceptron"`` — a LEARNED backend: an averaged-perceptron
+    BIO tagger trained offline on the reference's own public span data
+    (``data/training/spacy_training_data.json``, 1,281 examples) by
+    ``tools/train_ner.py``; weights ship in the package and load once
+    per executor process. Held-out span F1 is reported in BENCH.md and
+    pinned in ``tests/test_ner_learned.py``.
   * ``model="spacy"`` — loads the real pipeline inside the iterator if
     spaCy + a model path are available; raises ImportError otherwise
     (gated, never at executor runtime).
@@ -111,11 +117,30 @@ def ner_evidence(
                 raise FileNotFoundError(
                     f"spaCy model {p!r} is neither an existing path nor an installed package"
                 )
+    elif model == "perceptron":
+        import os
+
+        from .ner_perceptron import WEIGHTS_PATH
+
+        p = model_path or WEIGHTS_PATH
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"perceptron weights not found: {p!r}")
     elif model != "heuristic":
         raise ValueError(f"unknown ner model {model!r}")
 
+    def _perceptron_model(path: str | None):
+        from .ner_perceptron import load_model, shared_model
+
+        m = load_model(path) if path else shared_model()
+        return m.spans
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        predict = _spacy_model(model_path or "") if model == "spacy" else _heuristic_model()
+        if model == "spacy":
+            predict = _spacy_model(model_path or "")
+        elif model == "perceptron":
+            predict = _perceptron_model(model_path)
+        else:
+            predict = _heuristic_model()
         for pdf in batches:
             rows = []
             for mid, text in zip(pdf[id_col], pdf[text_col]):

@@ -86,12 +86,15 @@ def canon(component: str, v: str | None) -> str:
 
 
 def evaluate(records=None, show_miss: str | None = None,
-             vocab_records=None) -> dict:
+             vocab_records=None, ner: str | None = None) -> dict:
     """Score ``records``; the batch gazetteer/area vocabulary is built
     from ``vocab_records`` (defaults to the scored records — the
     reference's own batch lifecycle, hence in-sample). Pass a disjoint
     ``vocab_records`` for a held-out generalization figure
-    (``--held-out``)."""
+    (``--held-out``). ``ner="perceptron"`` unions the learned T10
+    evidence into Stage-8 voting (reference optional-stage semantics,
+    spacy_ner source weight 0.85) — ``--ner`` measures its effect on
+    component accuracy."""
     from pyspark.sql import functions as F
 
     from ai_bangladesh_address_parser_spark.functions.normalize import normalize_expr
@@ -126,6 +129,10 @@ def evaluate(records=None, show_miss: str | None = None,
     from ai_bangladesh_address_parser_spark.functions.country import with_country
 
     ev = extract_evidence(df, gazetteer=gazetteer, area_vocab=area_vocab)
+    if ner:
+        from ai_bangladesh_address_parser_spark.operators.ner import ner_evidence
+
+        ev = ev.unionByName(ner_evidence(df, model=ner))
     wide = resolved_wide(resolve_evidence(ev)).join(
         df.select("mention_id", "normalized"), "mention_id")
     wide = with_country(wide, text_col="normalized")
@@ -159,12 +166,13 @@ if __name__ == "__main__":
         if i >= len(sys.argv) or sys.argv[i].startswith("--"):
             sys.exit("usage: eval_golden.py [--show-miss COMPONENT] [--held-out]")
         show = sys.argv[i]
+    ner = "perceptron" if "--ner" in sys.argv else None
     if "--held-out" in sys.argv:
         # generalization split: vocab from the even records, score the
         # odd ones (disjoint halves of the fixture)
         recs = json.load(open(GOLDEN))
         print(json.dumps(
             evaluate(records=recs[1::2], vocab_records=recs[::2],
-                     show_miss=show), indent=1))
+                     show_miss=show, ner=ner), indent=1))
     else:
-        print(json.dumps(evaluate(show_miss=show), indent=1))
+        print(json.dumps(evaluate(show_miss=show, ner=ner), indent=1))
