@@ -1014,6 +1014,33 @@ def q_s10_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("norm_key")
 
 
+def q_s11_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (day-2) linkage: two micro-batches linked against
+    persistent entity state (plans/incremental.py) — new nodes blocked
+    and scored against the stored block-key index, CC restricted to the
+    delta + touched components. Not SQL-expressible (stateful across
+    batches) — rows-only check; the stream-of-batches ≡ one-batch
+    equivalence (identical entity ids) is pytest-verified
+    (tests/test_incremental.py)."""
+    import tempfile
+
+    from ai_bangladesh_address_parser_spark.plans.incremental import (
+        IncrementalLinker,
+    )
+    from ai_bangladesh_address_parser_spark.sources.pages import synth_pages
+
+    tmp = tempfile.mkdtemp(prefix="abap_inc_q_")
+    pages, _ = synth_pages(spark, n_pages=240, n_entities=30, n_partitions=4)
+    linker = IncrementalLinker(spark, f"{tmp}/state")
+    for i in range(2):
+        linker.link_batch(pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == i))
+    return (
+        linker.entities()
+        .select("url", "mention_id", "norm_key", "entity_id")
+        .orderBy("url", "mention_id")
+    )
+
+
 def q_x2_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_bangladesh_address_parser_spark.operators.text_analysis import langid_cols
 
@@ -1104,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m2_frame_sample": q_m2_frame_sample,
         "s9_stream_extract": q_s9_stream_extract,
         "s10_stateful_dedup": q_s10_stateful_dedup,
+        "s11_incremental_link": q_s11_incremental_link,
         "x2_langid": q_x2_langid,
         "x3_quality": q_x3_quality,
         "x4_token_count": q_x4_token_count,

@@ -176,8 +176,43 @@ def _trie_regex(words: list[str]) -> str:
     return emit(trie)
 
 
+# Pattern-literal budget for runtime extra_terms (sum of term lengths).
+# A labeled vocabulary can, at corpus scale, carry 10^5 surfaces; folding
+# them all would produce a multi-megabyte regex literal and an unbounded
+# driver-side string. Terms beyond the budget must be matched by the
+# caller through a broadcast token semi-join instead (the pipeline's
+# ``LinkagePlan._apply_gate`` does) — same soundness contract, bounded
+# pattern. The default budget folds ~2-4k typical surfaces, far above
+# any observed labeled vocabulary, so the common case stays one pure
+# codegen rlike.
+GATE_FOLD_MAX_CHARS = 20_000
+
+
+def split_fold_terms(
+    terms, budget_chars: int = GATE_FOLD_MAX_CHARS
+) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """Deterministic (folded, overflow) split of runtime vocabulary
+    terms: lowercase, dedupe, sort, then fold in order until the
+    cumulative character budget is spent. The folded tuple feeds
+    ``address_signal_expr(extra_terms=...)``; the overflow tuple is the
+    caller's semi-join set."""
+    folded, overflow, used = [], [], 0
+    for t in sorted({t.lower() for t in terms if t}):
+        used += len(t) + 1
+        (folded if used <= budget_chars else overflow).append(t)
+    return tuple(folded), tuple(overflow)
+
+
 @lru_cache(maxsize=32)
 def _build_pattern(extra_terms: tuple[str, ...] = ()) -> str:
+    extra_len = sum(len(t) + 1 for t in extra_terms)
+    if extra_len > 2 * GATE_FOLD_MAX_CHARS:
+        raise ValueError(
+            f"extra_terms would fold {extra_len} chars into the gate "
+            f"pattern (budget {GATE_FOLD_MAX_CHARS}); split with "
+            "split_fold_terms() and route the overflow through a "
+            "broadcast token semi-join (see LinkagePlan._apply_gate)"
+        )
     vocab = _vocab_terms()
     subs = set(_KEYWORDS) | set(vocab) | set(_geo_closure_terms(vocab))
     subs |= {t.lower() for t in extra_terms if t}

@@ -100,6 +100,30 @@ def minhash_band_keys(
     )
 
 
+def expansion_repartition(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
+    """Explicit-numPartitions repartition ahead of a high-expansion
+    self-join.
+
+    AQE's partition coalescing sizes post-shuffle partitions from the
+    MAP output — the small pre-join key table — not from the join's
+    expanded output, so a 44k-row key table that expands to 38M pairs
+    gets coalesced onto a handful of tasks and the expansion runs
+    nearly serial (measured 6.7× slower than the static plan on the
+    hot-block stress; BENCH.md "Hot-block skew stress"). A
+    REPARTITION_BY_NUM shuffle (``repartition(n, cols)`` with an
+    explicit count) is exempt from AQE coalescing, so the expansion
+    keeps its parallelism under either planner mode — and since the
+    join keys match the repartition keys, the self-join reuses the one
+    exchange instead of adding another.
+    """
+    if n is None:
+        try:
+            n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):  # e.g. "auto" on some platforms
+            n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols)
+
+
 def blocking_keys(
     mentions: DataFrame,
     id_col: str = "mention_id",
@@ -206,8 +230,11 @@ def blocking_keys(
             # address-likelihood gate (functions/signal.py): zero-signal
             # mentions carry no extractable structure, so banding them
             # only mass-pairs prose pages — they keep any component keys
-            # above (vacuously none) and stay singletons downstream
-            mh_in = mh_in.filter(band_gate)
+            # above (vacuously none) and stay singletons downstream.
+            # Column: pure predicate filter. Callable (df → df): the
+            # pipeline's _apply_gate, which also recovers overflow-
+            # vocabulary rows via its broadcast token semi-join.
+            mh_in = band_gate(mh_in) if callable(band_gate) else mh_in.filter(band_gate)
         out = out.unionByName(
             minhash_band_keys(mh_in, id_col=id_col, text_col=text_col)
         ).distinct()
@@ -241,14 +268,22 @@ def candidate_pairs(
     k = keys.join(F.broadcast(sizes.filter(F.col("block_size") > (max_block or 2**62))), "block_key", "left_anti")
     k = k.join(sizes, "block_key").withColumn("hot", F.col("block_size") > hot_cap)
 
-    cold = k.filter(~F.col("hot")).select("block_key", "mention_id")
+    cold = expansion_repartition(
+        k.filter(~F.col("hot")).select("block_key", "mention_id"), "block_key"
+    )
     a, b = cold.alias("a"), cold.alias("b")
     cold_pairs = a.join(b, "block_key").filter(F.col("a.mention_id") < F.col("b.mention_id"))
 
     hot = k.filter(F.col("hot")).select("block_key", "mention_id")
     # left: one salt bucket per row; right: replicated to every bucket
-    hl = hot.withColumn("salt", F.pmod(F.xxhash64("mention_id"), F.lit(salt_buckets)))
-    hr = hot.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>")))
+    hl = expansion_repartition(
+        hot.withColumn("salt", F.pmod(F.xxhash64("mention_id"), F.lit(salt_buckets))),
+        "block_key", "salt",
+    )
+    hr = expansion_repartition(
+        hot.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>"))),
+        "block_key", "salt",
+    )
     hot_pairs = (
         hl.alias("a")
         .join(hr.alias("b"), ["block_key", "salt"])

@@ -220,6 +220,12 @@ def minhash_band_pairs(
     if max_bucket:
         big = band_sig.groupBy("band_key").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > max_bucket)
         band_sig = band_sig.join(F.broadcast(big), "band_key", "left_anti")
+    from .blocking import expansion_repartition
+
+    # explicit-count repartition: AQE would coalesce this exchange from
+    # the tiny band-key map output, serializing the pair expansion (see
+    # blocking.expansion_repartition)
+    band_sig = expansion_repartition(band_sig, "band_key")
     a, b = band_sig.alias("a"), band_sig.alias("b")
     return (
         a.join(b, "band_key")
@@ -313,6 +319,9 @@ def simhash_near_pairs(
         "band_val",
         F.expr(f"shiftright(simhash, blk * {width}) & {mask}"),
     ).localCheckpoint(eager=False)  # both self-join sides
+    from .blocking import expansion_repartition
+
+    bands = expansion_repartition(bands, "blk", "band_val")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, ["blk", "band_val"])
@@ -351,7 +360,10 @@ def ngram_jaccard_pairs(
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n"))
         sh = sh.join(F.broadcast(freq.filter(F.col("n") > max_shingle_freq)), "sh", "left_anti")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    from .blocking import expansion_repartition
+
+    shp = expansion_repartition(sh, "sh")
+    a, b = shp.alias("a"), shp.alias("b")
     inter = (
         a.join(b, "sh")
         .filter(F.col("a._id") < F.col("b._id"))

@@ -223,6 +223,12 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("_v"),
         F.posexplode(buckets).alias("tbl", "bucket"),
     )
+    from .blocking import expansion_repartition
+
+    # explicit-count repartition so AQE cannot coalesce the bucket
+    # exchange down to the tiny membership-table size and serialize the
+    # pair expansion (see blocking.expansion_repartition)
+    d = expansion_repartition(d, "tbl", "bucket")
     a, b = d.alias("a"), d.alias("b")
     return (
         a.join(b, ["tbl", "bucket"])

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.normalize import norm_key_expr, normalize_expr
-from ..functions.signal import address_signal_expr
+from ..functions.signal import address_signal_expr, split_fold_terms
 
 # Mention harvesting: pull the address-looking spans out of the page
 # text. Anchored on the address-start keywords the reference's pattern
@@ -234,18 +234,57 @@ class LinkagePlan:
         self.observations: dict[str, Observation] = {}
         self.gate_stats: dict | None = None
 
-    def _gate_expr(self, text_col: str = "normalized"):
-        """Gate predicate, extended with the runtime ``area_vocab``
-        variants so labeled-vocabulary joins stay reachable (signal.py
-        soundness contract). The variant list is tiny (distinct labeled
-        area surfaces) — collected once and folded into the pattern
-        literal."""
+    def _gate_terms(self) -> tuple[tuple[str, ...], tuple[str, ...]]:
+        """(folded, overflow) split of the runtime ``area_vocab``
+        variants. Folded terms ride in the gate pattern literal so
+        labeled-vocabulary joins stay reachable (signal.py soundness
+        contract); terms beyond the pattern budget (a 10^5-surface
+        labeled vocabulary would otherwise fold a multi-MB regex and an
+        unbounded driver literal) are matched by ``_apply_gate``'s
+        broadcast token semi-join instead. Collected once per plan."""
         if self._gate_extra is None:
-            self._gate_extra = tuple(
+            terms = tuple(
                 r["variant"]
                 for r in self.area_vocab.select("variant").distinct().collect()
             ) if self.area_vocab is not None else ()
-        return address_signal_expr(text_col, extra_terms=self._gate_extra or None)
+            self._gate_extra = split_fold_terms(terms)
+        return self._gate_extra
+
+    def _gate_expr(self, text_col: str = "normalized"):
+        """Gate predicate over the static pattern + folded runtime terms
+        (pure codegen rlike). Callers that must also honor overflow
+        terms use ``_apply_gate``."""
+        folded, _ = self._gate_terms()
+        return address_signal_expr(text_col, extra_terms=folded or None)
+
+    def _apply_gate(self, df: DataFrame, id_col: str,
+                    text_col: str = "normalized") -> DataFrame:
+        """Gate as a DataFrame filter. With no overflow vocabulary this
+        is exactly ``df.filter(_gate_expr())`` — one codegen predicate,
+        no join. Overflow surfaces are recovered by a broadcast token
+        semi-join over the SAME key derivation the vocabulary join uses
+        (``operators.extract._token_candidates``: comma-parts, unigrams,
+        dash-split words, bigrams), so every mention the ``area_vocab``
+        join could hit still passes — the semi-join reachability is
+        bit-for-bit the join's reachability, which is STRONGER than the
+        folded-pattern substring approximation it replaces."""
+        base = self._gate_expr(text_col)
+        _, overflow = self._gate_terms()
+        if not overflow:
+            return df.filter(base)
+        from ..operators.extract import _token_candidates
+
+        ov = F.broadcast(self.spark.createDataFrame(
+            [(t,) for t in overflow], "variant string"))
+        passed = df.filter(base)
+        rest = df.filter(~base)
+        hit = (
+            _token_candidates(rest, id_col, text_col)
+            .join(ov, F.col("key") == F.col("variant"), "left_semi")
+            .select(F.col("mention_id").alias(id_col))
+            .distinct()
+        )
+        return passed.unionByName(rest.join(hit, id_col, "left_semi"))
 
     # -- S1 ---------------------------------------------------------------
     def extract(self, pages: DataFrame) -> DataFrame:
@@ -283,22 +322,33 @@ class LinkagePlan:
             # pages scan + dedup shuffle just to discard the plan
             # (gate_stats stays None on resume; the stored stage is the
             # source of truth for its rows)
+            live = self._apply_gate(uniq, "norm_key") if self.gate else uniq
             if self.gate and not self.store.will_resume(self.spark, "s1_mentions"):
-                # one scalar metrics aggregate over the (materialized-
-                # anyway) unique-mention checkpoint; Observation can't
-                # ride here — the CollectMetrics node executes during
-                # the untracked checkpoint materialization and reports
-                # empty metrics
-                sig = self._gate_expr()
-                stats = uniq.agg(
-                    F.count(F.lit(1)).alias("unique_mentions"),
-                    F.sum((~sig).cast("long")).alias("gate_skipped"),
-                ).first()
-                self.gate_stats = {
-                    "unique_mentions": stats["unique_mentions"],
-                    "gate_skipped": stats["gate_skipped"] or 0,
-                }
-            live = uniq.filter(self._gate_expr()) if self.gate else uniq
+                if self._gate_terms()[1]:
+                    # overflow semi-join in play: the skip count is not a
+                    # pure column aggregate — count kept rows off the
+                    # (reused-downstream) gated frame instead
+                    live = live.localCheckpoint(eager=False)
+                    total = uniq.count()
+                    self.gate_stats = {
+                        "unique_mentions": total,
+                        "gate_skipped": total - live.count(),
+                    }
+                else:
+                    # one scalar metrics aggregate over the
+                    # (materialized-anyway) unique-mention checkpoint;
+                    # Observation can't ride here — the CollectMetrics
+                    # node executes during the untracked checkpoint
+                    # materialization and reports empty metrics
+                    sig = self._gate_expr()
+                    stats = uniq.agg(
+                        F.count(F.lit(1)).alias("unique_mentions"),
+                        F.sum((~sig).cast("long")).alias("gate_skipped"),
+                    ).first()
+                    self.gate_stats = {
+                        "unique_mentions": stats["unique_mentions"],
+                        "gate_skipped": stats["gate_skipped"] or 0,
+                    }
             ev = extract_evidence(live, id_col="norm_key", text_col="normalized",
                                   gazetteer=self.gazetteer,
                                   area_vocab=self.area_vocab, stages=self.stages)
@@ -308,20 +358,28 @@ class LinkagePlan:
             )
         else:
             keyed = keyed.localCheckpoint(eager=False)
+            live = self._apply_gate(keyed, "mention_id") if self.gate else keyed
             if self.gate and not self.store.will_resume(self.spark, "s1_mentions"):
                 # same skip accounting as the dedup branch ("unique"
                 # here means raw mentions — no dedup ran); metrics()
                 # must report s1_gate whenever rows are being skipped
-                sig = self._gate_expr()
-                stats = keyed.agg(
-                    F.count(F.lit(1)).alias("unique_mentions"),
-                    F.sum((~sig).cast("long")).alias("gate_skipped"),
-                ).first()
-                self.gate_stats = {
-                    "unique_mentions": stats["unique_mentions"],
-                    "gate_skipped": stats["gate_skipped"] or 0,
-                }
-            live = keyed.filter(self._gate_expr()) if self.gate else keyed
+                if self._gate_terms()[1]:
+                    live = live.localCheckpoint(eager=False)
+                    total = keyed.count()
+                    self.gate_stats = {
+                        "unique_mentions": total,
+                        "gate_skipped": total - live.count(),
+                    }
+                else:
+                    sig = self._gate_expr()
+                    stats = keyed.agg(
+                        F.count(F.lit(1)).alias("unique_mentions"),
+                        F.sum((~sig).cast("long")).alias("gate_skipped"),
+                    ).first()
+                    self.gate_stats = {
+                        "unique_mentions": stats["unique_mentions"],
+                        "gate_skipped": stats["gate_skipped"] or 0,
+                    }
             ev = extract_evidence(live, gazetteer=self.gazetteer,
                                   area_vocab=self.area_vocab, stages=self.stages)
             wide = keyed.join(resolved_wide(resolve_evidence(ev)), "mention_id", "left")
@@ -353,7 +411,10 @@ class LinkagePlan:
             postal_col="postal_code",
             district_col="district",
             use_minhash=self.use_minhash,
-            band_gate=self._gate_expr() if self.gate else None,
+            # callable form: honors overflow vocabulary via the token
+            # semi-join (a bare Column can't express the join)
+            band_gate=(lambda df: self._apply_gate(df, id_col))
+            if self.gate else None,
         )
         keys = self.store.through(self.spark, "s2_block_keys", keys)
         return candidate_pairs(keys)

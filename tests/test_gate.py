@@ -229,3 +229,81 @@ def test_gate_keeps_area_vocab_surfaces(spark):
         )
     assert rows[True] == rows[False]
     assert rows[True][0][1] == "Zzoloka"
+
+
+# --- bounded vocabulary folding (round-4: pattern-size budget) -----------
+
+def _page_df(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string").select(
+        "url",
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        "text",
+        F.lit("en").alias("lang"),
+    )
+
+
+def _big_vocab(n=50_000):
+    # deterministic synthetic surfaces, none matching the static pattern
+    return [(f"zzv{i:05d}ka", f"Zzv{i:05d}ka") for i in range(n)]
+
+
+def test_split_fold_terms_budget():
+    from ai_bangladesh_address_parser_spark.functions.signal import (
+        GATE_FOLD_MAX_CHARS,
+        _build_pattern,
+        split_fold_terms,
+    )
+
+    terms = [v for v, _ in _big_vocab()]
+    folded, overflow = split_fold_terms(terms)
+    assert len(folded) + len(overflow) == len(terms)
+    assert overflow, "50k terms must overflow the fold budget"
+    assert sum(len(t) + 1 for t in folded) <= GATE_FOLD_MAX_CHARS
+    # deterministic: same input (any order) → same split
+    import random
+
+    shuffled = terms[:]
+    random.Random(7).shuffle(shuffled)
+    assert split_fold_terms(shuffled) == (folded, overflow)
+    # the folded pattern stays bounded; folding everything raises loudly
+    assert len(_build_pattern(folded)) < 4 * GATE_FOLD_MAX_CHARS
+    import pytest
+
+    with pytest.raises(ValueError, match="semi-join"):
+        _build_pattern(tuple(sorted(terms)))
+
+
+def test_gate_overflow_vocab_equivalence(spark):
+    """A 50k-variant labeled vocabulary: the gate folds only a bounded
+    prefix into the pattern; overflow surfaces are recovered by the
+    broadcast token semi-join. Output must equal the ungated run for
+    mentions whose ONLY signal is an overflow variant."""
+    vocab = _big_vocab()
+    av = spark.createDataFrame(vocab, "variant string, area string")
+    first_v = vocab[0][0]        # sorts first → folded into the pattern
+    last_v, last_a = vocab[-1]   # sorts last → overflow (semi-join path)
+    pages = _page_df(spark, [
+        ("p://folded", f"prose text, {first_v}, more prose"),
+        ("p://overflow", f"prose text, {last_v}, more prose"),
+        ("p://prose", "the committee adjourned early without incident"),
+    ])
+    rows = {}
+    for gate in (True, False):
+        plan = LinkagePlan(spark, gate=gate, area_vocab=av)
+        folded, overflow = plan._gate_terms()
+        if gate:
+            assert overflow and first_v in folded and last_v in overflow
+        rows[gate] = sorted(
+            (r["url"], r["area"])
+            for r in plan.extract(pages).select("url", "area").collect()
+        )
+        if gate:
+            m = plan.metrics() if plan.gate_stats is None else None
+            stats = plan.gate_stats
+            assert stats["unique_mentions"] >= 3
+            # only the pure-prose page is skipped
+            assert stats["gate_skipped"] == 1, (stats, m)
+    assert rows[True] == rows[False]
+    got = dict(rows[True])
+    assert got["p://overflow"] == last_a
