@@ -47,13 +47,26 @@ def _spark(cpus: int):
     return get_spark("abap-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
 
 
-def _corpus(spark, sf_dir: str, n_pages: int):
+def _corpus(spark, sf_dir: str, n_pages: int, neg_replicas: int = 1):
     from pyspark.sql import functions as F
 
     from ai_bangladesh_address_parser_spark.sources.pages import synth_pages
 
     pages, truth = synth_pages(spark, n_pages=n_pages, n_entities=270)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if neg_replicas > 1:
+        # DISTINCT prose per replica (letter suffix — no digit, keyword,
+        # or vocab surface), so the scaled negatives cannot collapse at
+        # the norm_key dedup and genuinely multiply the unique prose set
+        reps = spark.range(neg_replicas).select(
+            F.col("id").cast("int").alias("rep"))
+        docs = docs.crossJoin(F.broadcast(reps)).select(
+            F.concat(F.col("doc_id").cast("string"), F.lit("/"),
+                     F.col("rep").cast("string")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" xq"),
+                     F.chr(F.lit(97) + F.col("rep"))).alias("text"),
+            "lang",
+        )
     neg = docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
@@ -64,7 +77,12 @@ def _corpus(spark, sf_dir: str, n_pages: int):
     return pages.unionByName(neg), truth
 
 
-def run_bench() -> dict:
+def run_bench(scale: int = 1) -> dict:
+    """Headline bench. ``scale`` multiplies the corpus (address pages ×
+    scale over the SAME entity set; negatives replicated with distinct
+    digit-free suffixes) — ``--scale10`` is the next-decade check that
+    the dedup-before-compute and gate invariants hold: unique mentions
+    and candidate pairs should stay ~flat while page count grows 10×."""
     from pyspark.sql import functions as F
 
     from ai_bangladesh_address_parser_spark.operators.dedup import (
@@ -80,8 +98,8 @@ def run_bench() -> dict:
 
     spark = _spark(CPUS)
     sf = _sf_of(SF_DIR)
-    n_pages = max(2000, int(60000 * sf))  # sf0.1 → 6,000 address pages
-    corpus, truth = _corpus(spark, SF_DIR, n_pages)
+    n_pages = max(2000, int(60000 * sf)) * scale  # sf0.1 → 6,000 address pages
+    corpus, truth = _corpus(spark, SF_DIR, n_pages, neg_replicas=scale)
 
     times: dict[str, float] = {}
     extras: dict = {}
@@ -210,6 +228,7 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "scale": scale,
         **extras,
     }
 
@@ -643,6 +662,94 @@ def run_scaling(
     }
 
 
+def scorer_audit(spark, n_pages: int = 6000, n_entities: int = 270,
+                 threshold: float = 0.85) -> dict:
+    """Levenshtein↔difflib disagreement audit over labeled candidate
+    pairs (VERDICT r3 item 7).
+
+    The production hot path scores with JVM levenshtein (equality
+    short-circuit); the reference's own similarity is difflib
+    ``SequenceMatcher.ratio`` (address_utils.py) — kept as the
+    oracle-parity backend. This quantifies what the swap costs at the
+    reference 0.85 threshold: both backends score the SAME candidate
+    pairs, labels come from the generator's truth (same entity ⇔
+    should-match at the generator's separability), and the report is
+    the match-decision disagreement rate plus each backend's P/R/F1
+    against truth on that pair set.
+    """
+    from pyspark.sql import functions as F
+
+    from ai_bangladesh_address_parser_spark.operators.scoring import (
+        attach_pair_components,
+        score_pairs,
+    )
+    from ai_bangladesh_address_parser_spark.plans.pipeline import LinkagePlan
+    from ai_bangladesh_address_parser_spark.sources.pages import synth_pages
+
+    pages, truth = synth_pages(spark, n_pages=n_pages, n_entities=n_entities)
+    plan = LinkagePlan(spark)
+    wide = plan.extract(pages)
+    nodes = plan.unique_mentions(wide).localCheckpoint(eager=False)
+    pairs = plan.block(nodes, id_col="norm_key").localCheckpoint(eager=True)
+    attached = attach_pair_components(
+        pairs, nodes, id_col="norm_key").localCheckpoint(eager=True)
+
+    # node-level truth: the generator guarantees one entity per distinct
+    # normalized text, so max() is a no-op collapse
+    node_truth = (
+        wide.join(truth, "url")
+        .groupBy("norm_key").agg(F.max("truth_entity_id").alias("te"))
+    )
+    both = None
+    for name in ("levenshtein", "difflib"):
+        s = score_pairs(attached, scorer=name, threshold=threshold).select(
+            "id_a", "id_b",
+            F.col("score").alias(f"score_{name}"),
+            F.col("is_match").alias(f"match_{name}"),
+        )
+        both = s if both is None else both.join(s, ["id_a", "id_b"])
+    lab = (
+        both.join(node_truth.withColumnRenamed("norm_key", "id_a")
+                  .withColumnRenamed("te", "te_a"), "id_a")
+        .join(node_truth.withColumnRenamed("norm_key", "id_b")
+              .withColumnRenamed("te", "te_b"), "id_b")
+        .withColumn("same", F.col("te_a") == F.col("te_b"))
+    )
+
+    def prf(match_col: str) -> dict:
+        r = lab.agg(
+            F.sum((F.col(match_col) & F.col("same")).cast("long")).alias("tp"),
+            F.sum((F.col(match_col) & ~F.col("same")).cast("long")).alias("fp"),
+            F.sum((~F.col(match_col) & F.col("same")).cast("long")).alias("fn"),
+        ).first()
+        tp, fp, fn = (r["tp"] or 0), (r["fp"] or 0), (r["fn"] or 0)
+        p = tp / (tp + fp) if tp + fp else 0.0
+        rc = tp / (tp + fn) if tp + fn else 0.0
+        return {"precision": round(p, 6), "recall": round(rc, 6),
+                "f1": round(2 * p * rc / (p + rc), 6) if p + rc else 0.0}
+
+    agg = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("match_levenshtein") != F.col("match_difflib")).cast("long")).alias("dis"),
+        F.avg(F.abs(F.col("score_levenshtein") - F.col("score_difflib"))).alias("mad"),
+    ).first()
+    return {
+        "n_pairs": agg["n"],
+        "disagreements": agg["dis"],
+        "disagreement_rate": round(agg["dis"] / max(agg["n"], 1), 6),
+        "mean_abs_score_delta": round(agg["mad"], 6),
+        "threshold": threshold,
+        "levenshtein": prf("match_levenshtein"),
+        "difflib": prf("match_difflib"),
+    }
+
+
+def run_scorer_audit() -> dict:
+    out = scorer_audit(_spark(CPUS))
+    return {"metric": "scorer_backend_disagreement_rate",
+            "value": out["disagreement_rate"], "unit": "fraction", **out}
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--score-bench":
         print(json.dumps(score_bench(int(sys.argv[2]), sys.argv[3])))
@@ -655,5 +762,9 @@ if __name__ == "__main__":
         print(json.dumps(run_skew()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--cc-scale":
         print(json.dumps(run_cc_scale()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scorer-audit":
+        print(json.dumps(run_scorer_audit()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scale10":
+        print(json.dumps(run_bench(scale=10)))
     else:
         print(json.dumps(run_bench()))

@@ -310,3 +310,19 @@ def test_band_count_must_divide_seeds(spark):
         minhash_band_keys(df, n_seeds=8, n_bands=3)
     with pytest.raises(ValueError, match="must divide"):
         minhash_band_keys(df, n_seeds=8, n_bands=9)
+
+
+def test_scorer_backend_agreement_bound(spark):
+    """The production hot path scores with JVM levenshtein; difflib
+    SequenceMatcher is the reference-parity backend. Pin the calibration:
+    over labeled candidate pairs at the 0.85 reference threshold the
+    match-decision disagreement rate stays < 1% and neither backend
+    loses F1 against truth (full-corpus figures ride in BENCH.md via
+    `python bench.py --scorer-audit`)."""
+    from bench import scorer_audit
+
+    out = scorer_audit(spark, n_pages=1200, n_entities=120)
+    assert out["n_pairs"] > 500
+    assert out["disagreement_rate"] < 0.01, out
+    assert out["levenshtein"]["f1"] >= 0.99, out
+    assert out["difflib"]["f1"] >= 0.99, out

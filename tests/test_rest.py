@@ -172,3 +172,49 @@ def test_close_does_not_hang_pending(spark):
     # instead of waiting forever on the dead dispatcher
     r = svc.extract("House 1, Road 1, Gulshan, Dhaka")
     assert r["error"] == "service closed" and r["cached"] is False
+
+
+def test_concurrent_load_amortizes_batches(server, service):
+    """Load smoke: 32 concurrent clients x 6 requests each, distinct
+    addresses (no cache hits) — the micro-batch dispatcher must serve
+    them with FAR fewer Spark jobs than requests, and tail latency must
+    stay bounded by a handful of batch drains."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    b0, r0 = service.n_batches, service.n_batched_requests
+    n_clients, per_client = 32, 6
+    latencies = []
+
+    def client(cid):
+        out = []
+        for j in range(per_client):
+            t0 = time.time()
+            code, body = _post(
+                server, "/extract",
+                {"address": f"House {cid + 1}, Road {j + 1}, Dhanmondi, Dhaka-12{cid % 10}{j % 10}"},
+            )
+            out.append((code, body.get("cached"), time.time() - t0))
+        return out
+
+    with ThreadPoolExecutor(max_workers=n_clients) as ex:
+        results = [r for f in [ex.submit(client, i) for i in range(n_clients)]
+                   for r in f.result()]
+
+    total = n_clients * per_client
+    assert len(results) == total
+    assert all(code == 200 for code, _, _ in results)
+    assert not any(cached for _, cached, _ in results)  # all distinct
+    latencies = sorted(dt for _, _, dt in results)
+    p95 = latencies[int(0.95 * total)]
+    batches = service.n_batches - b0
+    served = service.n_batched_requests - r0
+    assert served == total
+    # amortization: ≪ one job per request (a serial client would pay
+    # `total` jobs; concurrency must collapse that by ≥ 4x)
+    assert batches <= total // 4, (batches, total)
+    # p95 bounded by a few batch drains (each ~1-3 s locally)
+    assert p95 < 60.0
+    print(f"\nREST load: {total} reqs, {batches} batches "
+          f"({total / batches:.1f} req/batch), p95 {p95:.2f}s, "
+          f"p50 {latencies[total // 2]:.2f}s")
