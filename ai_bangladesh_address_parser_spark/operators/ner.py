@@ -129,10 +129,11 @@ def ner_evidence(
         raise ValueError(f"unknown ner model {model!r}")
 
     def _perceptron_model(path: str | None):
-        from .ner_perceptron import load_model, shared_model
+        from .ner_perceptron import shared_model
 
-        m = load_model(path) if path else shared_model()
-        return m.spans
+        # path-keyed process cache — explicit model paths must not
+        # re-gunzip the weight blob once per Spark task
+        return shared_model(path).spans
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if model == "spacy":

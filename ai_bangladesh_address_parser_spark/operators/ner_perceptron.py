@@ -197,14 +197,15 @@ def load_model(path: str | None = None) -> PerceptronNER:
     return PerceptronNER(blob["tags"], blob["weights"])
 
 
-_CACHED: PerceptronNER | None = None
+_CACHED: dict[str, PerceptronNER] = {}
 
 
-def shared_model() -> PerceptronNER:
-    """Process-level singleton: Spark reuses Python workers across
-    Arrow batches, so the weight table deserializes once per executor
-    process, not once per batch."""
-    global _CACHED
-    if _CACHED is None:
-        _CACHED = load_model()
-    return _CACHED
+def shared_model(path: str | None = None) -> PerceptronNER:
+    """Process-level singleton keyed by weights path: Spark reuses
+    Python workers across Arrow batches AND tasks, so the weight table
+    deserializes once per executor process, not once per task — for
+    explicit paths too, not only the bundled default."""
+    key = path or WEIGHTS_PATH
+    if key not in _CACHED:
+        _CACHED[key] = load_model(key)
+    return _CACHED[key]

@@ -190,6 +190,7 @@ class LinkagePlan:
         profile: str | None = None,
         stages: frozenset[str] | None = None,
         gate: bool = True,
+        max_block: int | None = 100_000,
     ):
         from ..operators.extract import DEFAULT_STAGES, PROFILES
 
@@ -207,6 +208,11 @@ class LinkagePlan:
         # gate-equivalence pytest); only the work for pure-prose pages
         # disappears. Skip counts ride metrics().
         self.gate = gate
+        # blocks whose total membership exceeds this never generate
+        # pairs (candidate_pairs drops them); surfaced as a plan knob so
+        # the incremental linker's retroactive cap can be compared
+        # against a one-shot run at the same setting
+        self.max_block = max_block
         self._gate_extra: tuple[str, ...] | None = None
         # D5 stage control: an explicit ``stages`` set wins; else a
         # named profile (fast/balanced/accurate/minimal, reference
@@ -417,7 +423,7 @@ class LinkagePlan:
             if self.gate else None,
         )
         keys = self.store.through(self.spark, "s2_block_keys", keys)
-        return candidate_pairs(keys)
+        return candidate_pairs(keys, max_block=self.max_block)
 
     # -- S3 ---------------------------------------------------------------
     def score(self, pairs: DataFrame, nodes: DataFrame,

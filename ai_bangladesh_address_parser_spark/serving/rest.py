@@ -308,7 +308,6 @@ class _Server(ThreadingHTTPServer):
     # ECONNRESET); handler threads are cheap — they only queue on the
     # dispatcher — so accept deep
     request_queue_size = 128
-    daemon_threads = True
 
 
 def serve(

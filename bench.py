@@ -672,7 +672,8 @@ def run_incremental() -> dict:
     absolute speedup at toy scale (where per-job fixed overhead
     dominates both paths), is the scale claim. Output entity tables
     must agree (the test suite pins the stronger per-mention-id
-    equality; here the driver asserts entity counts + F1)."""
+    equality; here the bench asserts entity counts + F1 before
+    reporting)."""
     import shutil
     import tempfile
 
@@ -754,6 +755,9 @@ def run_incremental() -> dict:
             "n_entities_full": (
                 full_ents.select("entity_id").distinct().count()),
         })
+        r = rows[-1]
+        assert r["incremental_f1"] == r["full_f1"], r
+        assert r["n_entities_incremental"] == r["n_entities_full"], r
 
     small, big = rows
     return {
