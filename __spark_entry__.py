@@ -1041,6 +1041,42 @@ def q_s11_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s12_stream_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming end-to-end linkage (streaming/stream_link.py): a pages
+    stream drives the incremental linker via foreachBatch, entity state
+    advancing per landed file. Not SQL-expressible (stateful across
+    micro-batches) — rows-only check; stream ≡ batch equivalence and
+    replay idempotence are pytest-verified (tests/test_streaming.py::
+    test_stream_link_equals_batch, tests/test_incremental.py::
+    test_replayed_batch_is_idempotent)."""
+    import tempfile
+
+    from ai_bangladesh_address_parser_spark.plans.incremental import (
+        IncrementalLinker,
+    )
+    from ai_bangladesh_address_parser_spark.sources.pages import synth_pages
+    from ai_bangladesh_address_parser_spark.streaming.stream_link import (
+        run_incremental_link,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="abap_slink_q_")
+    pages, _ = synth_pages(spark, n_pages=120, n_entities=20)
+    for i in range(2):  # two part files → two micro-batches
+        (pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == i)
+              .coalesce(1).write.mode("append").parquet(f"{tmp}/in"))
+    q = run_incremental_link(
+        spark, f"{tmp}/in", f"{tmp}/state", f"{tmp}/ck", max_files=1)
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    return (
+        IncrementalLinker(spark, f"{tmp}/state").entities()
+        .select("url", "mention_id", "norm_key", "entity_id")
+        .orderBy("url", "mention_id")
+    )
+
+
 def q_x2_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_bangladesh_address_parser_spark.operators.text_analysis import langid_cols
 
@@ -1132,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_stream_extract": q_s9_stream_extract,
         "s10_stateful_dedup": q_s10_stateful_dedup,
         "s11_incremental_link": q_s11_incremental_link,
+        "s12_stream_link": q_s12_stream_link,
         "x2_langid": q_x2_langid,
         "x3_quality": q_x3_quality,
         "x4_token_count": q_x4_token_count,

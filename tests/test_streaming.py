@@ -100,3 +100,43 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
     assert all(r["is_first"] for r in rows.values())
     n_k1 = spark.sql("select count(*) n from first_seen where norm_key='k1'").first()["n"]
     assert n_k1 == 1
+
+
+def test_stream_link_equals_batch(spark, tmp_path):
+    """Streaming a corpus as file-batches through run_incremental_link
+    produces the SAME per-mention entity ids as one batch run."""
+    from ai_bangladesh_address_parser_spark.plans.incremental import (
+        IncrementalLinker,
+    )
+    from ai_bangladesh_address_parser_spark.plans.pipeline import LinkagePlan
+    from ai_bangladesh_address_parser_spark.streaming.stream_link import (
+        run_incremental_link,
+    )
+
+    pages, _ = synth_pages(spark, n_pages=240, n_entities=30)
+    pages = pages.localCheckpoint(eager=True)
+    src = str(tmp_path / "pages")
+    for i in range(3):  # three part files → three micro-batches
+        (pages.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == i)
+              .coalesce(1).write.mode("append").parquet(src))
+
+    state = str(tmp_path / "state")
+    q = run_incremental_link(
+        spark, src, state, str(tmp_path / "ck"), max_files=1)
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    linker = IncrementalLinker(spark, state)
+    assert linker.version == 3  # one committed version per micro-batch
+    got = {
+        (r["url"], r["mention_id"]): r["entity_id"]
+        for r in linker.entities().select("url", "mention_id", "entity_id").collect()
+    }
+    want = {
+        (r["url"], r["mention_id"]): r["entity_id"]
+        for r in LinkagePlan(spark).run(pages)
+        .select("url", "mention_id", "entity_id").collect()
+    }
+    assert got == want
