@@ -55,7 +55,11 @@ def harvest_mention_expr(text_col: str):
     """First-span form, kept for single-mention callers/tests."""
     span = F.regexp_extract(F.col(text_col), _MENTION_PATTERN, 1)
     return F.when(span != "", span).otherwise(F.col(text_col))
-from ..operators.blocking import blocking_keys, candidate_pairs
+from ..operators.blocking import (
+    blocking_keys,
+    candidate_pairs,
+    expansion_repartition,
+)
 from ..operators.cluster import assign_entity_ids
 from ..operators.extract import extract_evidence
 from ..operators.resolve import resolve_evidence, resolved_wide
@@ -293,6 +297,37 @@ class LinkagePlan:
         return passed.unionByName(rest.join(hit, id_col, "left_semi"))
 
     # -- S1 ---------------------------------------------------------------
+    # target battery rows per task: the deep battery costs ~1.5 ms/row,
+    # so ~256 rows ≈ 0.4 s per task — enough to amortize task launch
+    # without serializing the stage
+    _BATTERY_ROWS_PER_TASK = 256
+
+    def _battery_repartition(self, live: DataFrame, id_col: str) -> DataFrame:
+        """Guard the evidence battery against AQE under-parallelization.
+
+        The battery costs milliseconds PER ROW (regex tiers, vocab
+        joins, the T4-T6 Arrow UDF), but after the dedup shuffle + gate
+        its input is small in BYTES — AQE's size-based coalescing packs
+        it into 1-2 partitions and the battery runs nearly serial
+        (measured −8.6 s on s1 at the 10× bench; the same blind spot the
+        skew bench found for high-expansion joins). Explicit-
+        numPartitions repartition is AQE-exempt; keyed by ``id_col`` so
+        the resolve groupBy reuses the partitioning. Width adapts to the
+        measured survivor count when the gate stats just computed it —
+         756 sf0.1 survivors get 3 tasks, not 32 empty ones — and falls
+        back to the configured shuffle width when no count is at hand
+        (gate off / resume), which is the right default at scale."""
+        n = None
+        if self.gate_stats:
+            survivors = (self.gate_stats["unique_mentions"]
+                         - self.gate_stats["gate_skipped"])
+            try:
+                width = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            except (TypeError, ValueError):
+                width = self.spark.sparkContext.defaultParallelism
+            n = max(1, min(width, survivors // self._BATTERY_ROWS_PER_TASK + 1))
+        return expansion_repartition(live, id_col, n=n)
+
     def extract(self, pages: DataFrame) -> DataFrame:
         """pages → one row per harvested mention with normalized text +
         resolved components (wide). A page may carry 0..n mentions
@@ -355,6 +390,7 @@ class LinkagePlan:
                         "unique_mentions": stats["unique_mentions"],
                         "gate_skipped": stats["gate_skipped"] or 0,
                     }
+            live = self._battery_repartition(live, "norm_key")
             ev = extract_evidence(live, id_col="norm_key", text_col="normalized",
                                   gazetteer=self.gazetteer,
                                   area_vocab=self.area_vocab, stages=self.stages)
@@ -386,6 +422,7 @@ class LinkagePlan:
                         "unique_mentions": stats["unique_mentions"],
                         "gate_skipped": stats["gate_skipped"] or 0,
                     }
+            live = self._battery_repartition(live, "mention_id")
             ev = extract_evidence(live, gazetteer=self.gazetteer,
                                   area_vocab=self.area_vocab, stages=self.stages)
             wide = keyed.join(resolved_wide(resolve_evidence(ev)), "mention_id", "left")
