@@ -117,11 +117,17 @@ def expansion_repartition(df: DataFrame, *cols: str, n: int | None = None) -> Da
     exchange instead of adding another.
     """
     if n is None:
-        try:
-            n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        except (TypeError, ValueError):  # e.g. "auto" on some platforms
-            n = df.sparkSession.sparkContext.defaultParallelism
+        n = shuffle_width(df.sparkSession)
     return df.repartition(n, *cols)
+
+
+def shuffle_width(spark) -> int:
+    """The configured shuffle width, falling back to core count when the
+    conf is unset or non-numeric (e.g. "auto" on some platforms)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
 
 
 def blocking_keys(

@@ -59,6 +59,7 @@ from ..operators.blocking import (
     blocking_keys,
     candidate_pairs,
     expansion_repartition,
+    shuffle_width,
 )
 from ..operators.cluster import assign_entity_ids
 from ..operators.extract import extract_evidence
@@ -321,10 +322,7 @@ class LinkagePlan:
         if self.gate_stats:
             survivors = (self.gate_stats["unique_mentions"]
                          - self.gate_stats["gate_skipped"])
-            try:
-                width = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-            except (TypeError, ValueError):
-                width = self.spark.sparkContext.defaultParallelism
+            width = shuffle_width(self.spark)
             n = max(1, min(width, survivors // self._BATTERY_ROWS_PER_TASK + 1))
         return expansion_repartition(live, id_col, n=n)
 
