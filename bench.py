@@ -221,6 +221,17 @@ def run_bench(scale: int = 1) -> dict:
     lsh_topk(emb, q, k=10).count()
     times["ann_lsh"] = round(time.time() - t, 2)
 
+    # Warm-session s1, measured AFTER the suite on a fresh plan (the
+    # default StageStore is lazy/no-resume, so nothing is reused): the
+    # headline s1_extract above is the FIRST job of the JVM and carries
+    # the one-time task-launch/codegen-JIT warm-up (~10 s at sf0.1).
+    # Reported as an extra — NOT folded into the headline total — so
+    # driver-to-driver round comparisons keep their cold-inclusive
+    # basis while the steady-state per-stage cost is on record.
+    t = time.time()
+    LinkagePlan(spark, scorer="levenshtein").extract(corpus).count()
+    extras["s1_extract_warm"] = round(time.time() - t, 2)
+
     total = round(sum(times.values()), 2)
     return {
         "metric": "linkage_e2e_plus_corpus_ops_seconds",
