@@ -253,6 +253,60 @@ def block_stats(keys: DataFrame) -> DataFrame:
     return keys.groupBy("block_key").agg(F.count(F.lit(1)).alias("block_size"))
 
 
+def blocking_recall(
+    pairs: DataFrame,
+    node_truth: DataFrame,
+    id_col: str = "mention_id",
+    truth_col: str = "truth_entity_id",
+) -> dict:
+    """Blocking-stage recall: the fraction of ground-truth co-referent
+    node pairs that survive into ``pairs``.
+
+    The production diagnostic the end-to-end F1 can't give you at
+    corpus scale: on a labeled sample it separates "blocking never
+    proposed the pair" (a key-design problem) from "the scorer rejected
+    it" (a threshold problem). Computed WITHOUT materializing truth
+    pairs — the denominator is Σ n·(n−1)/2 over truth-entity node
+    counts (one tiny aggregate), the numerator joins the
+    already-bounded candidate set to the truth map twice — so it runs
+    at any corpus size the blocking itself runs at.
+
+    ``node_truth``: (id_col, truth_col) rows mapping each node (for the
+    unique-level pipeline: norm_key) to its labeled entity. Nodes
+    absent from ``node_truth`` (unlabeled / negatives) are ignored.
+    """
+    nt = (node_truth.select(F.col(id_col), F.col(truth_col))
+          .distinct().localCheckpoint(eager=False))
+    total = (
+        nt.groupBy(truth_col).agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("t"))
+        .first()["t"]
+    ) or 0.0
+    a = nt.select(F.col(id_col).alias("id_a"), F.col(truth_col).alias("t_a"))
+    b = nt.select(F.col(id_col).alias("id_b"), F.col(truth_col).alias("t_b"))
+    # canonicalize pair order defensively: candidate_pairs already emits
+    # id_a < id_b, but a caller-supplied pair table with both (x,y) and
+    # (y,x) must still count the truth pair once, never twice
+    canon = pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
+    covered = (
+        canon.distinct()
+        .join(a, "id_a").join(b, "id_b")
+        .filter(F.col("t_a") == F.col("t_b"))
+        # re-distinct: a multi-labeled node (two truth ids on one id)
+        # would otherwise count the same candidate pair twice
+        .select("id_a", "id_b").distinct()
+        .count()
+    )
+    return {
+        "truth_pairs": int(total),
+        "covered_pairs": int(covered),
+        "recall": covered / total if total else 1.0,
+    }
+
+
 def candidate_pairs(
     keys: DataFrame,
     hot_cap: int = HOT_BLOCK_CAP,

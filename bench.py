@@ -195,6 +195,16 @@ def run_bench(scale: int = 1) -> dict:
 
     f1 = pairwise_f1(ents.filter(~F.col("mention_id").startswith("doc://")), truth)
     extras["pairwise_f1"] = round(f1["f1"], 6)
+    # blocking-stage recall (untimed diagnostic): did every truth pair
+    # survive blocking, independent of what the scorer then decided?
+    from ai_bangladesh_address_parser_spark.operators.blocking import blocking_recall
+
+    node_truth = wide.join(truth, "url").select(
+        F.col("norm_key").alias("mention_id"), "truth_entity_id"
+    )
+    extras["blocking_recall"] = round(
+        blocking_recall(pairs, node_truth)["recall"], 6
+    )
     extras["n_mentions"] = n_mentions
     extras["n_entities"] = n_ents
 

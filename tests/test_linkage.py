@@ -326,3 +326,58 @@ def test_scorer_backend_agreement_bound(spark):
     assert out["disagreement_rate"] < 0.01, out
     assert out["levenshtein"]["f1"] >= 0.99, out
     assert out["difflib"]["f1"] >= 0.99, out
+
+
+def test_blocking_recall_metric(spark):
+    """blocking_recall separates "blocking never proposed the pair"
+    from scorer/threshold effects: a truth pair sharing a block is
+    covered; a truth pair whose nodes share no key is a blocking miss.
+    Denominator never materializes truth pairs (Σ n·(n−1)/2)."""
+    from ai_bangladesh_address_parser_spark.operators.blocking import (
+        blocking_recall,
+    )
+
+    keys = spark.createDataFrame(
+        [("x1", "p:1000"), ("x2", "p:1000"), ("x3", "p:2000"), ("x4", "p:3000")],
+        "mention_id string, block_key string",
+    )
+    pairs = candidate_pairs(keys)
+    truth = spark.createDataFrame(
+        [("x1", "e1"), ("x2", "e1"), ("x3", "e2"), ("x4", "e2")],
+        "mention_id string, truth_entity_id string",
+    )
+    out = blocking_recall(pairs, truth)
+    # e1's pair shares p:1000 (covered); e2's pair shares nothing (miss)
+    assert out == {"truth_pairs": 2, "covered_pairs": 1, "recall": 0.5}
+
+    # reversed / duplicated pair orientation must not double-count
+    rev = pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")).unionAll(pairs)
+    assert blocking_recall(rev, truth)["covered_pairs"] == 1
+
+    # empty truth → vacuous recall 1.0, no division error
+    empty = truth.filter(F.lit(False))
+    assert blocking_recall(pairs, empty)["recall"] == 1.0
+
+
+def test_blocking_recall_full_pipeline(spark):
+    """End-to-end: on the separable synthetic corpus the composite
+    blocking keys cover EVERY truth pair at the unique-mention level —
+    recall 1.0 — and the denominator matches the distinct-node count."""
+    from ai_bangladesh_address_parser_spark.operators.blocking import (
+        blocking_recall,
+    )
+    from ai_bangladesh_address_parser_spark.plans.pipeline import LinkagePlan
+    from ai_bangladesh_address_parser_spark.sources.pages import synth_pages
+
+    pages, truth = synth_pages(spark, n_pages=480, n_entities=40)
+    plan = LinkagePlan(spark)
+    wide = plan.extract(pages)
+    nodes = plan.unique_mentions(wide)
+    pairs = plan.block(nodes, id_col="norm_key")
+    node_truth = (
+        wide.join(truth, "url")
+        .select(F.col("norm_key").alias("mention_id"), "truth_entity_id")
+    )
+    out = blocking_recall(pairs, node_truth)
+    assert out["recall"] == 1.0
+    assert out["truth_pairs"] > 0
