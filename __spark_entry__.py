@@ -558,6 +558,35 @@ def q_p2_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_pairs(keys, hot_cap=40, salt_buckets=4).select("id_a", "id_b")
 
 
+def q_p7_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 diagnostic: blocking recall — the fraction of truth pairs that
+    survive blocking. Entities are nations; blocks are (nation, segment)
+    via the postal key, so same-nation/different-segment truth pairs are
+    deliberate blocking misses and recall lands strictly inside (0, 1).
+    The oracle recomputes both sides combinatorially (Σ n·(n−1)/2)."""
+    from ai_bangladesh_address_parser_spark.operators.blocking import (
+        blocking_keys,
+        blocking_recall,
+        candidate_pairs,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("mention_id"),
+        F.concat(
+            F.col("c_nationkey").cast("string"), F.lit("-"), F.col("c_mktsegment")
+        ).alias("postal_code"),
+        F.col("c_nationkey").cast("string").alias("truth_entity_id"),
+    )
+    keys = blocking_keys(c, postal_col="postal_code", district_col=None, use_minhash=False)
+    m = blocking_recall(candidate_pairs(keys), c)
+    return spark.createDataFrame(
+        [(m["truth_pairs"], m["covered_pairs"])],
+        "truth_pairs bigint, covered_pairs bigint",
+    ).withColumn(
+        "recall", F.round(F.col("covered_pairs") / F.col("truth_pairs"), 6)
+    )
+
+
 def q_p4_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2→P4: large-star/small-star CC over a customer–supplier
     bipartite edge sample (oracle: recursive-CTE reachability)."""
@@ -1135,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t12_country": q_t12_country,
         "p1_score_pairs": q_p1_score_pairs,
         "p2_candidate_pairs": q_p2_candidate_pairs,
+        "p7_blocking_recall": q_p7_blocking_recall,
         "p5_jaro_winkler": q_p5_jaro_winkler,
         "j3_consistency": q_j3_consistency,
         "j4_predict_postal": q_j4_predict_postal,
@@ -1683,6 +1713,17 @@ def oracle_sql() -> dict[str, str]:
                        from customer)
             select distinct a.cid as id_a, b.cid as id_b
             from c a join c b on a.nk = b.nk and a.cid < b.cid
+        """,
+        "p7_blocking_recall": """
+            with nt as (select c_custkey as id, c_nationkey as t, c_mktsegment as seg
+                        from customer),
+            tot as (select cast(sum(n*(n-1)/2) as bigint) as truth_pairs
+                    from (select count(*) as n from nt group by t)),
+            cov as (select cast(sum(n*(n-1)/2) as bigint) as covered_pairs
+                    from (select count(*) as n from nt group by t, seg))
+            select truth_pairs, covered_pairs,
+                   round(covered_pairs * 1.0 / truth_pairs, 6) as recall
+            from tot, cov
         """,
         "p3_validate": f"""
             with comp as ({_COMP_SQL}),
