@@ -902,6 +902,10 @@ if __name__ == "__main__":
         print(json.dumps(run_scorer_audit()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scale10":
         print(json.dumps(run_bench(scale=10)))
+    elif len(sys.argv) > 2 and sys.argv[1] == "--scale":
+        # generic decade runs, e.g. `--scale 100` (the BENCH.md third-
+        # decade table); same corpus construction as --scale10
+        print(json.dumps(run_bench(scale=int(sys.argv[2]))))
     elif len(sys.argv) > 1 and sys.argv[1] == "--incremental":
         print(json.dumps(run_incremental()))
     else:
