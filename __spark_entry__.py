@@ -587,6 +587,32 @@ def q_p7_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p8_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-family evaluation: B³ precision/recall/F1 (mention-averaged —
+    the long-tail-fair complement of pairwise F1). Predicted clusters =
+    market segment, truth = nation: both cross-cut, so precision AND
+    recall land strictly inside (0, 1). Oracle recomputes the
+    contingency-table closed form Σ n_ct²/n_c / N in SQL."""
+    from ai_bangladesh_address_parser_spark.plans.pipeline import bcubed
+
+    c = _t(spark, sf_dir, "customer")
+    uid = F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+    ent = c.select(uid.alias("url"), F.col("c_mktsegment").alias("entity_id"))
+    truth = c.select(
+        uid.alias("url"), F.col("c_nationkey").cast("string").alias("truth_entity_id")
+    )
+    m = bcubed(ent, truth)
+    return spark.createDataFrame(
+        [(m["n_mentions"], m["precision"], m["recall"], m["f1"])],
+        "n_mentions bigint, p double, r double, f double",
+    ).select(
+        "n_mentions",
+        F.round("p", 6).alias("b3_precision"),
+        F.round("r", 6).alias("b3_recall"),
+        F.round("f", 6).alias("b3_f1"),
+    )
+
+
 def q_p4_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2→P4: large-star/small-star CC over a customer–supplier
     bipartite edge sample (oracle: recursive-CTE reachability)."""
@@ -1165,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_score_pairs": q_p1_score_pairs,
         "p2_candidate_pairs": q_p2_candidate_pairs,
         "p7_blocking_recall": q_p7_blocking_recall,
+        "p8_bcubed": q_p8_bcubed,
         "p5_jaro_winkler": q_p5_jaro_winkler,
         "j3_consistency": q_j3_consistency,
         "j4_predict_postal": q_j4_predict_postal,
@@ -1724,6 +1751,22 @@ def oracle_sql() -> dict[str, str]:
             select truth_pairs, covered_pairs,
                    round(covered_pairs * 1.0 / truth_pairs, 6) as recall
             from tot, cov
+        """,
+        "p8_bcubed": """
+            with m as (select c_custkey as id, c_mktsegment as c, c_nationkey as t
+                       from customer),
+            cont as (select c, t, count(*) as n from m group by c, t),
+            nc as (select c, sum(n) as n_c from cont group by c),
+            nt as (select t, sum(n) as n_t from cont group by t),
+            s as (select sum(n) as nn,
+                         sum(n*n*1.0/n_c) as sp,
+                         sum(n*n*1.0/n_t) as sr
+                  from cont join nc using (c) join nt using (t))
+            select cast(nn as bigint) as n_mentions,
+                   round(sp/nn, 6) as b3_precision,
+                   round(sr/nn, 6) as b3_recall,
+                   round(2*(sp/nn)*(sr/nn)/((sp/nn)+(sr/nn)), 6) as b3_f1
+            from s
         """,
         "p3_validate": f"""
             with comp as ({_COMP_SQL}),

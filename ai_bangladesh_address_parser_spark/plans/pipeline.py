@@ -541,3 +541,42 @@ def pairwise_f1(entities: DataFrame, truth: DataFrame) -> dict:
     r = tp / true if true else 1.0
     f1 = 2 * p * r / (p + r) if (p + r) else 0.0
     return {"precision": p, "recall": r, "f1": f1, "tp_pairs": tp, "pred_pairs": pred, "true_pairs": true}
+
+
+def bcubed(entities: DataFrame, truth: DataFrame) -> dict:
+    """B³ (B-cubed) precision/recall/F1 of predicted ``entity_id``
+    clusters vs ``truth_entity_id`` clusters — the other standard ER
+    metric alongside :func:`pairwise_f1`. Pairwise F1 over-weights large
+    clusters (pairs grow quadratically in cluster size); B³ averages
+    per MENTION, so singletons and small entities — the long tail of a
+    web corpus — carry proportional weight.
+
+    Per mention m: P(m) = |C(m)∩T(m)|/|C(m)|, R(m) = |C(m)∩T(m)|/|T(m)|;
+    B³ P/R are the means over mentions. Computed distributively from the
+    contingency table alone: each (c,t) cell of size n contributes
+    n·(n/|c|) to ΣP and n·(n/|t|) to ΣR, so
+
+        P = Σ_ct n_ct²/n_c / N,   R = Σ_ct n_ct²/n_t / N
+
+    — three small aggregations, no per-mention state, any corpus size.
+    """
+    ent = (entities.select("url", "entity_id") if "url" in entities.columns
+           else entities.select(F.col("mention_id").alias("url"), "entity_id"))
+    j = ent.join(truth, "url")
+    cont = (j.groupBy("entity_id", "truth_entity_id")
+            .agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False))
+    n_c = cont.groupBy("entity_id").agg(F.sum("n").alias("n_c"))
+    n_t = cont.groupBy("truth_entity_id").agg(F.sum("n").alias("n_t"))
+    sums = (
+        cont.join(n_c, "entity_id").join(n_t, "truth_entity_id")
+        .agg(
+            F.sum("n").alias("N"),
+            F.sum(F.col("n") * F.col("n") / F.col("n_c")).alias("sp"),
+            F.sum(F.col("n") * F.col("n") / F.col("n_t")).alias("sr"),
+        ).first()
+    )
+    n_total = sums["N"] or 0
+    p = (sums["sp"] / n_total) if n_total else 1.0
+    r = (sums["sr"] / n_total) if n_total else 1.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return {"precision": p, "recall": r, "f1": f1, "n_mentions": int(n_total)}

@@ -195,6 +195,11 @@ def run_bench(scale: int = 1) -> dict:
 
     f1 = pairwise_f1(ents.filter(~F.col("mention_id").startswith("doc://")), truth)
     extras["pairwise_f1"] = round(f1["f1"], 6)
+    from ai_bangladesh_address_parser_spark.plans.pipeline import bcubed
+
+    extras["bcubed_f1"] = round(
+        bcubed(ents.filter(~F.col("mention_id").startswith("doc://")), truth)["f1"], 6
+    )
     # blocking-stage recall (untimed diagnostic): did every truth pair
     # survive blocking, independent of what the scorer then decided?
     from ai_bangladesh_address_parser_spark.operators.blocking import blocking_recall

@@ -194,3 +194,41 @@ def test_empty_corpus_yields_zero_rows(spark):
         [], "url string, warc_ts timestamp, html binary, text string, lang string"
     )
     assert LinkagePlan(spark).run(pages).count() == 0
+
+
+def test_bcubed_hand_example(spark):
+    """B³ on the classic worked example: truth {a,b},{c}; prediction
+    welds all three. P = mean(2/3, 2/3, 1/3) = 5/9, R = 1, F = 5/7."""
+    from ai_bangladesh_address_parser_spark.plans.pipeline import bcubed
+
+    ents = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x")], "url string, entity_id string"
+    )
+    truth = spark.createDataFrame(
+        [("a", "e1"), ("b", "e1"), ("c", "e2")], "url string, truth_entity_id string"
+    )
+    m = bcubed(ents, truth)
+    assert abs(m["precision"] - 5 / 9) < 1e-12
+    assert abs(m["recall"] - 1.0) < 1e-12
+    assert abs(m["f1"] - 5 / 7) < 1e-12
+    assert m["n_mentions"] == 3
+
+    # perfect clustering → all 1.0; and mention-averaging differs from
+    # pairwise on purpose: pairwise precision of the welded prediction
+    # is 1/3 (1 TP of 3 pred pairs), B³ precision is 5/9
+    perfect = bcubed(truth.withColumnRenamed("truth_entity_id", "entity_id"), truth)
+    assert perfect["precision"] == perfect["recall"] == perfect["f1"] == 1.0
+    pw = pairwise_f1(ents, truth)
+    assert abs(pw["precision"] - 1 / 3) < 1e-12
+
+
+def test_bcubed_full_pipeline_is_perfect(spark):
+    """On the separable synthetic corpus the pipeline's clusters score
+    B³ = 1.0, consistent with pairwise F1 = 1.0."""
+    from ai_bangladesh_address_parser_spark.plans.pipeline import LinkagePlan, bcubed
+    from ai_bangladesh_address_parser_spark.sources.pages import synth_pages
+
+    pages, truth = synth_pages(spark, n_pages=360, n_entities=30)
+    ents = LinkagePlan(spark).run(pages)
+    m = bcubed(ents, truth)
+    assert m["precision"] == m["recall"] == m["f1"] == 1.0
