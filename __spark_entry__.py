@@ -587,6 +587,34 @@ def q_p7_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p9_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 calibration: precision/recall/F1 threshold sweep over the
+    levenshtein-scored name pairs (deterministic congruence labels so
+    both classes are populated). One aggregation pass + a ≤20-row
+    window — the sweep that re-derives the reference's 0.85 threshold
+    on a labeled sample."""
+    from ai_bangladesh_address_parser_spark.operators.scoring import (
+        pr_curve,
+        score_pairs,
+    )
+
+    scored = score_pairs(_name_pairs(spark, sf_dir), components=["name"],
+                         scorer="levenshtein", threshold=0.9)
+    labeled = scored.withColumn(
+        "is_true",
+        (F.col("id_a").cast("bigint") % 7) == (F.col("id_b").cast("bigint") % 7),
+    )
+    out = pr_curve(labeled, n_bins=20)
+    return out.select(
+        F.round("threshold", 6).alias("threshold"),
+        "pred_pairs",
+        "tp",
+        F.round("precision", 6).alias("p"),
+        F.round("recall", 6).alias("r"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
 def q_p8_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P-family evaluation: B³ precision/recall/F1 (mention-averaged —
     the long-tail-fair complement of pairwise F1). Predicted clusters =
@@ -1192,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_candidate_pairs": q_p2_candidate_pairs,
         "p7_blocking_recall": q_p7_blocking_recall,
         "p8_bcubed": q_p8_bcubed,
+        "p9_pr_curve": q_p9_pr_curve,
         "p5_jaro_winkler": q_p5_jaro_winkler,
         "j3_consistency": q_j3_consistency,
         "j4_predict_postal": q_j4_predict_postal,
@@ -1751,6 +1780,39 @@ def oracle_sql() -> dict[str, str]:
             select truth_pairs, covered_pairs,
                    round(covered_pairs * 1.0 / truth_pairs, 6) as recall
             from tot, cov
+        """,
+        "p9_pr_curve": """
+            with c as (select lpad(cast(c_custkey as varchar),6,'0') as cid,
+                              c_nationkey as nk, c_mktsegment as seg,
+                              lower(trim(c_name)) as nm
+                       from customer),
+            pairs as (select a.cid as id_a, b.cid as id_b, a.nm as na, b.nm as nb
+                      from c a join c b on a.nk = b.nk and a.seg = b.seg and a.cid < b.cid),
+            s as (select id_a, id_b,
+                         1.0 - cast(levenshtein(na, nb) as double)
+                             / greatest(length(na), length(nb)) as sim
+                  from pairs),
+            lab as (select least(cast(floor(sim * 20) as bigint), 19) as b,
+                           case when cast(id_a as bigint) % 7 = cast(id_b as bigint) % 7
+                                then 1 else 0 end as y
+                    from s),
+            per as (select b, count(*) as n_b, sum(y) as tp_b from lab group by b),
+            tot as (select cast(sum(y) as bigint) as t from lab),
+            cum as (select b / 20.0 as threshold,
+                           cast(sum(n_b) over (order by b desc
+                                rows between unbounded preceding and current row) as bigint) as pred_pairs,
+                           cast(sum(tp_b) over (order by b desc
+                                rows between unbounded preceding and current row) as bigint) as tp
+                    from per)
+            select round(threshold, 6) as threshold, pred_pairs, tp,
+                   round(tp * 1.0 / pred_pairs, 6) as p,
+                   round(tp * 1.0 / t, 6) as r,
+                   round(case when tp * 1.0 / pred_pairs + tp * 1.0 / t > 0
+                              then 2 * (tp * 1.0 / pred_pairs) * (tp * 1.0 / t)
+                                   / (tp * 1.0 / pred_pairs + tp * 1.0 / t)
+                              else 0.0 end, 6) as f1
+            from cum, tot
+            order by threshold desc
         """,
         "p8_bcubed": """
             with m as (select c_custkey as id, c_mktsegment as c, c_nationkey as t

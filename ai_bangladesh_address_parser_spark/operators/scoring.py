@@ -203,3 +203,59 @@ def attach_pair_components(
         F.col(id_col).alias("id_b"), *[F.col(c).alias(c + "_b") for c in components]
     )
     return pairs.join(a, "id_a").join(b, "id_b")
+
+
+def pr_curve(
+    scored: DataFrame,
+    label_col: str = "is_true",
+    score_col: str = "score",
+    n_bins: int = 100,
+    truth_total: int | None = None,
+) -> DataFrame:
+    """Precision/recall/F1 at every score threshold — the calibration
+    sweep behind picking a match threshold (the reference hardcodes
+    0.85; this is how you'd re-derive it on a labeled sample).
+
+    One aggregation pass at corpus scale: scores bucket into ``n_bins``
+    (threshold = bucket/n_bins), counts reduce to ≤ n_bins rows, and
+    the cumulative "pairs at or above threshold" sums run in a DESC
+    window over those rows — the global window is deliberate and safe,
+    it orders at most ``n_bins`` rows, never per-pair state.
+
+    ``truth_total`` (when given) sets the recall denominator — pass the
+    corpus truth-pair count (Σ n·(n−1)/2, see ``blocking_recall``) so
+    pairs blocking never proposed count as misses; default is the true
+    pairs present in ``scored`` (scorer-only calibration).
+
+    → (threshold, pred_pairs, tp, precision, recall, f1), one row per
+    non-empty bucket, descending threshold.
+    """
+    from pyspark.sql import Window
+
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("bigint"), F.lit(n_bins - 1)
+    )
+    binned = scored.select(
+        b.alias("b"), F.col(label_col).cast("long").alias("y")
+    )
+    per_bin = binned.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_b"), F.sum("y").alias("tp_b")
+    )
+    w = Window.orderBy(F.col("b").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_bin.select(
+        (F.col("b") / n_bins).alias("threshold"),
+        F.sum("n_b").over(w).alias("pred_pairs"),
+        F.sum("tp_b").over(w).alias("tp"),
+    )
+    if truth_total is None:
+        truth_total = binned.agg(F.sum("y")).first()[0] or 0
+    p = F.col("tp") / F.col("pred_pairs")
+    r = (F.col("tp") / F.lit(truth_total)) if truth_total else F.lit(1.0)
+    return cum.select(
+        "threshold",
+        "pred_pairs",
+        "tp",
+        p.alias("precision"),
+        r.alias("recall"),
+        F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)).alias("f1"),
+    ).orderBy(F.col("threshold").desc())

@@ -381,3 +381,39 @@ def test_blocking_recall_full_pipeline(spark):
     out = blocking_recall(pairs, node_truth)
     assert out["recall"] == 1.0
     assert out["truth_pairs"] > 0
+
+
+def test_pr_curve_hand_example(spark):
+    """Threshold sweep on a 4-pair hand case — exact cumulative P/R/F1
+    per bucket, plus the truth_total override that charges blocking
+    misses to recall."""
+    from ai_bangladesh_address_parser_spark.operators.scoring import pr_curve
+
+    scored = spark.createDataFrame(
+        [("a", "b", 0.95, True), ("c", "d", 0.90, False),
+         ("e", "f", 0.60, True), ("g", "h", 0.30, False)],
+        "id_a string, id_b string, score double, is_true boolean",
+    )
+    rows = {r["threshold"]: r for r in pr_curve(scored, n_bins=10).collect()}
+    assert set(rows) == {0.9, 0.6, 0.3}
+    assert (rows[0.9]["pred_pairs"], rows[0.9]["tp"]) == (2, 1)
+    assert rows[0.9]["precision"] == 0.5 and rows[0.9]["recall"] == 0.5
+    assert (rows[0.6]["pred_pairs"], rows[0.6]["tp"]) == (3, 2)
+    assert abs(rows[0.6]["precision"] - 2 / 3) < 1e-12 and rows[0.6]["recall"] == 1.0
+    assert (rows[0.3]["pred_pairs"], rows[0.3]["tp"]) == (4, 2)
+    # f1 consistency at 0.6: 2*(2/3)*1/(2/3+1) = 0.8
+    assert abs(rows[0.6]["f1"] - 0.8) < 1e-12
+
+    # recall denominator override: 2 of 4 corpus truth pairs were never
+    # scored (blocking misses) → recalls halve, precision unchanged
+    rows4 = {r["threshold"]: r for r in
+             pr_curve(scored, n_bins=10, truth_total=4).collect()}
+    assert rows4[0.6]["recall"] == 0.5
+    assert rows4[0.6]["precision"] == rows[0.6]["precision"]
+
+    # score exactly 1.0 clamps into the top bucket, no bucket overflow
+    one = spark.createDataFrame(
+        [("x", "y", 1.0, True)], "id_a string, id_b string, score double, is_true boolean"
+    )
+    top = pr_curve(one, n_bins=10).collect()
+    assert len(top) == 1 and top[0]["threshold"] == 0.9
