@@ -891,6 +891,80 @@ def run_scorer_audit() -> dict:
             "value": out["disagreement_rate"], "unit": "fraction", **out}
 
 
+def run_pr_curve(n_pages: int = 6000, n_entities: int = 270) -> dict:
+    """Threshold calibration on the labeled bench corpus: sweep the JVM
+    levenshtein scorer across all thresholds with corpus-truth recall
+    (blocking misses count as misses via truth_total), and report where
+    F1 peaks vs the reference's hardcoded 0.85 — i.e. re-derive the
+    reference threshold from data."""
+    from pyspark.sql import functions as F
+
+    from ai_bangladesh_address_parser_spark.operators.scoring import (
+        attach_pair_components,
+        pr_curve,
+        score_pairs,
+    )
+    from ai_bangladesh_address_parser_spark.plans.pipeline import LinkagePlan
+    from ai_bangladesh_address_parser_spark.sources.pages import synth_pages
+
+    spark = _spark(CPUS)
+    pages, truth = synth_pages(spark, n_pages=n_pages, n_entities=n_entities)
+    plan = LinkagePlan(spark)
+    wide = plan.extract(pages)
+    nodes = plan.unique_mentions(wide).localCheckpoint(eager=False)
+    pairs = plan.block(nodes, id_col="norm_key").localCheckpoint(eager=True)
+    scored = score_pairs(
+        attach_pair_components(pairs, nodes, id_col="norm_key"),
+        scorer="levenshtein", threshold=0.85,
+    )
+    node_truth = (
+        wide.join(truth, "url")
+        .groupBy("norm_key").agg(F.max("truth_entity_id").alias("te"))
+        .localCheckpoint(eager=False)
+    )
+    labeled = (
+        scored
+        .join(node_truth.select(F.col("norm_key").alias("id_a"),
+                                F.col("te").alias("te_a")), "id_a")
+        .join(node_truth.select(F.col("norm_key").alias("id_b"),
+                                F.col("te").alias("te_b")), "id_b")
+        .withColumn("is_true", F.col("te_a") == F.col("te_b"))
+    )
+    truth_total = int(
+        node_truth.groupBy("te").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2)).first()[0] or 0
+    )
+    n_bins = 100
+    rows = pr_curve(labeled, n_bins=n_bins, truth_total=truth_total).collect()
+    best = max(rows, key=lambda r: (r["f1"], r["threshold"]))
+    # STEP-FUNCTION semantics: a curve row exists only for non-empty
+    # score buckets, and its cumulative counts are "pairs scoring >= its
+    # bucket floor". F1 at an arbitrary threshold t is therefore the row
+    # of the LOWEST non-empty bucket >= t (empty buckets between t and
+    # that row contribute no pairs) — picking the row below t would
+    # wrongly blend in every pair of that lower bucket.
+    above = [r for r in rows if r["threshold"] >= 0.85 - 1e-9]
+    f1_at_ref = min(above, key=lambda r: r["threshold"])["f1"] if above else 0.0
+    # plateau of best F1 in threshold space: tied rows, extended down to
+    # just above the next non-empty bucket (same step semantics)
+    tied = [r["threshold"] for r in rows if r["f1"] >= best["f1"] - 1e-12]
+    below = [r["threshold"] for r in rows if r["threshold"] < min(tied)]
+    lower = (max(below) + 1.0 / n_bins) if below else 0.0
+    return {
+        "metric": "pr_curve_best_f1", "value": round(best["f1"], 6), "unit": "f1",
+        "truth_pairs": truth_total,
+        "scored_pairs": int(max(r["pred_pairs"] for r in rows)),
+        "best_threshold": best["threshold"],
+        "f1_at_0.85": round(f1_at_ref, 6),
+        "plateau": [round(lower, 6), max(tied)],
+        "curve_tail": [
+            {"t": r["threshold"], "p": round(r["precision"], 4),
+             "r": round(r["recall"], 4), "f1": round(r["f1"], 4)}
+            for r in rows if r["threshold"] >= 0.5
+        ],
+    }
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--score-bench":
         print(json.dumps(score_bench(int(sys.argv[2]), sys.argv[3])))
@@ -905,6 +979,8 @@ if __name__ == "__main__":
         print(json.dumps(run_cc_scale()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scorer-audit":
         print(json.dumps(run_scorer_audit()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--pr-curve":
+        print(json.dumps(run_pr_curve()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scale10":
         print(json.dumps(run_bench(scale=10)))
     elif len(sys.argv) > 2 and sys.argv[1] == "--scale":
