@@ -238,9 +238,12 @@ def pr_curve(
     binned = scored.select(
         b.alias("b"), F.col(label_col).cast("long").alias("y")
     )
+    # lineage cut: per_bin is ≤ n_bins rows but its lineage is the full
+    # scored input — without the cut, deriving the default truth_total
+    # AND collecting the curve would each re-run the scorer end to end
     per_bin = binned.groupBy("b").agg(
         F.count(F.lit(1)).alias("n_b"), F.sum("y").alias("tp_b")
-    )
+    ).localCheckpoint(eager=False)
     w = Window.orderBy(F.col("b").desc()).rowsBetween(Window.unboundedPreceding, 0)
     cum = per_bin.select(
         (F.col("b") / n_bins).alias("threshold"),
@@ -248,7 +251,7 @@ def pr_curve(
         F.sum("tp_b").over(w).alias("tp"),
     )
     if truth_total is None:
-        truth_total = binned.agg(F.sum("y")).first()[0] or 0
+        truth_total = per_bin.agg(F.sum("tp_b")).first()[0] or 0
     p = F.col("tp") / F.col("pred_pairs")
     r = (F.col("tp") / F.lit(truth_total)) if truth_total else F.lit(1.0)
     return cum.select(

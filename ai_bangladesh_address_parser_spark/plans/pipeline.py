@@ -521,6 +521,17 @@ def link_pages(
     ).run(pages)
 
 
+def _contingency(entities: DataFrame, truth: DataFrame) -> DataFrame:
+    """(entity_id, truth_entity_id, n) cell counts — the shared input of
+    both cluster metrics. Accepts entities keyed by ``url`` or
+    ``mention_id``; joins to ``truth`` on url."""
+    ent = (entities.select("url", "entity_id") if "url" in entities.columns
+           else entities.select(F.col("mention_id").alias("url"), "entity_id"))
+    return (ent.join(truth, "url")
+            .groupBy("entity_id", "truth_entity_id")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def pairwise_f1(entities: DataFrame, truth: DataFrame) -> dict:
     """Pairwise precision/recall/F1 of predicted ``entity_id`` clusters
     vs ``truth_entity_id`` clusters, computed distributively.
@@ -529,10 +540,7 @@ def pairwise_f1(entities: DataFrame, truth: DataFrame) -> dict:
     TP via the contingency table) — no pair materialization, three tiny
     aggregations, valid at any corpus size.
     """
-    ent = (entities.select("url", "entity_id") if "url" in entities.columns
-           else entities.select(F.col("mention_id").alias("url"), "entity_id"))
-    j = ent.join(truth, "url")
-    cont = j.groupBy("entity_id", "truth_entity_id").agg(F.count(F.lit(1)).alias("n"))
+    cont = _contingency(entities, truth)
     pairs = lambda c: F.sum(F.col(c) * (F.col(c) - 1) / 2)  # noqa: E731
     tp = cont.agg(pairs("n").alias("x")).first()["x"] or 0.0
     pred = cont.groupBy("entity_id").agg(F.sum("n").alias("n")).agg(pairs("n").alias("x")).first()["x"] or 0.0
@@ -560,11 +568,7 @@ def bcubed(entities: DataFrame, truth: DataFrame) -> dict:
 
     — three small aggregations, no per-mention state, any corpus size.
     """
-    ent = (entities.select("url", "entity_id") if "url" in entities.columns
-           else entities.select(F.col("mention_id").alias("url"), "entity_id"))
-    j = ent.join(truth, "url")
-    cont = (j.groupBy("entity_id", "truth_entity_id")
-            .agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False))
+    cont = _contingency(entities, truth).localCheckpoint(eager=False)
     n_c = cont.groupBy("entity_id").agg(F.sum("n").alias("n_c"))
     n_t = cont.groupBy("truth_entity_id").agg(F.sum("n").alias("n_t"))
     sums = (

@@ -55,18 +55,26 @@ def _corpus(spark, sf_dir: str, n_pages: int, neg_replicas: int = 1):
     pages, truth = synth_pages(spark, n_pages=n_pages, n_entities=270)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if neg_replicas > 1:
-        # DISTINCT prose per replica (letter suffix — no digit, keyword,
-        # or vocab surface), so the scaled negatives cannot collapse at
-        # the norm_key dedup and genuinely multiply the unique prose set
+        # DISTINCT prose per replica (two a-z letters — no digit,
+        # keyword, or vocab surface), so the scaled negatives cannot
+        # collapse at the norm_key dedup and genuinely multiply the
+        # unique prose set. Strictly ASCII letters: a bare chr(97+rep)
+        # walks into Unicode WHITESPACE at rep 36 (U+0085) / 63 (U+00A0),
+        # which normalize's (?U)\s collapse then folds together, quietly
+        # deflating the unique count at --scale > 36
         reps = spark.range(neg_replicas).select(
             F.col("id").cast("int").alias("rep"))
         docs = docs.crossJoin(F.broadcast(reps)).select(
             F.concat(F.col("doc_id").cast("string"), F.lit("/"),
                      F.col("rep").cast("string")).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" xq"),
-                     F.chr(F.lit(97) + F.col("rep"))).alias("text"),
+                     F.chr(F.lit(97) + F.col("rep") % 26),
+                     F.chr(F.lit(97) + (F.col("rep") / 26).cast("int") % 26)
+                     ).alias("text"),
             "lang",
         )
+        if neg_replicas > 26 * 26:
+            raise ValueError("neg_replicas suffix space is 676")
     neg = docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
@@ -936,6 +944,11 @@ def run_pr_curve(n_pages: int = 6000, n_entities: int = 270) -> dict:
     )
     n_bins = 100
     rows = pr_curve(labeled, n_bins=n_bins, truth_total=truth_total).collect()
+    if not rows:
+        return {"metric": "pr_curve_best_f1", "value": 0.0, "unit": "f1",
+                "truth_pairs": truth_total, "scored_pairs": 0,
+                "best_threshold": None, "f1_at_0.85": 0.0,
+                "plateau": None, "curve_tail": []}
     best = max(rows, key=lambda r: (r["f1"], r["threshold"]))
     # STEP-FUNCTION semantics: a curve row exists only for non-empty
     # score buckets, and its cumulative counts are "pairs scoring >= its
@@ -945,11 +958,21 @@ def run_pr_curve(n_pages: int = 6000, n_entities: int = 270) -> dict:
     # wrongly blend in every pair of that lower bucket.
     above = [r for r in rows if r["threshold"] >= 0.85 - 1e-9]
     f1_at_ref = min(above, key=lambda r: r["threshold"])["f1"] if above else 0.0
-    # plateau of best F1 in threshold space: tied rows, extended down to
-    # just above the next non-empty bucket (same step semantics)
-    tied = [r["threshold"] for r in rows if r["f1"] >= best["f1"] - 1e-12]
-    below = [r["threshold"] for r in rows if r["threshold"] < min(tied)]
-    lower = (max(below) + 1.0 / n_bins) if below else 0.0
+    # plateau of best F1 in threshold space: the CONTIGUOUS run of tied
+    # rows containing the best row (a non-adjacent equal-F1 row further
+    # down must not stretch the reported band across worse thresholds),
+    # extended down to just above the next non-empty bucket below the
+    # run (same step semantics)
+    desc = sorted(rows, key=lambda r: -r["threshold"])
+    i = desc.index(best)
+    lo_i, hi_i = i, i
+    while hi_i + 1 < len(desc) and desc[hi_i + 1]["f1"] >= best["f1"] - 1e-12:
+        hi_i += 1
+    while lo_i - 1 >= 0 and desc[lo_i - 1]["f1"] >= best["f1"] - 1e-12:
+        lo_i -= 1
+    tied = [desc[j]["threshold"] for j in range(lo_i, hi_i + 1)]
+    lower = (desc[hi_i + 1]["threshold"] + 1.0 / n_bins
+             if hi_i + 1 < len(desc) else 0.0)
     return {
         "metric": "pr_curve_best_f1", "value": round(best["f1"], 6), "unit": "f1",
         "truth_pairs": truth_total,
@@ -983,9 +1006,13 @@ if __name__ == "__main__":
         print(json.dumps(run_pr_curve()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scale10":
         print(json.dumps(run_bench(scale=10)))
-    elif len(sys.argv) > 2 and sys.argv[1] == "--scale":
+    elif sys.argv[1:2] == ["--scale"]:
         # generic decade runs, e.g. `--scale 100` (the BENCH.md third-
-        # decade table); same corpus construction as --scale10
+        # decade table); same corpus construction as --scale10. Loud
+        # failure on a missing N — falling through to the 1× headline
+        # would print a plausible-looking but unscaled result
+        if len(sys.argv) < 3:
+            sys.exit("usage: bench.py --scale N")
         print(json.dumps(run_bench(scale=int(sys.argv[2]))))
     elif len(sys.argv) > 1 and sys.argv[1] == "--incremental":
         print(json.dumps(run_incremental()))
