@@ -587,6 +587,38 @@ def q_p7_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p10_compare_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 detail surface: the reference compare()'s common/differences
+    component lists (address_utils.py:131-176) over nation-blocked
+    customer pairs with three synthetic components — name (always
+    present, varying), segment (often equal), flat (empty on every
+    third customer, exercising the one-side-present branch)."""
+    from ai_bangladesh_address_parser_spark.operators.scoring import (
+        compare_detail,
+        score_pairs,
+    )
+
+    comps = ["name", "segment", "flat"]
+    c = _t(spark, sf_dir, "customer").select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("cid"),
+        F.col("c_nationkey").cast("bigint").alias("nk"),
+        F.lower(F.trim(F.col("c_name"))).alias("name"),
+        F.lower(F.col("c_mktsegment")).alias("segment"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("")).otherwise(
+            (F.col("c_custkey") % 5).cast("string")).alias("flat"),
+    )
+    a = c.select(F.col("cid").alias("id_a"), "nk",
+                 *[F.col(x).alias(x + "_a") for x in comps])
+    b = c.select(F.col("cid").alias("id_b"), "nk",
+                 *[F.col(x).alias(x + "_b") for x in comps])
+    pairs = a.join(b, "nk").filter(F.col("id_a") < F.col("id_b"))
+    scored = score_pairs(pairs, components=comps, scorer="levenshtein", threshold=0.85)
+    return compare_detail(scored, components=comps).select(
+        "id_a", "id_b", F.round("score", 6).alias("score"), "is_match",
+        "common", "differences",
+    )
+
+
 def q_p9_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 calibration: precision/recall/F1 threshold sweep over the
     levenshtein-scored name pairs (deterministic congruence labels so
@@ -1221,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_blocking_recall": q_p7_blocking_recall,
         "p8_bcubed": q_p8_bcubed,
         "p9_pr_curve": q_p9_pr_curve,
+        "p10_compare_detail": q_p10_compare_detail,
         "p5_jaro_winkler": q_p5_jaro_winkler,
         "j3_consistency": q_j3_consistency,
         "j4_predict_postal": q_j4_predict_postal,
@@ -1780,6 +1813,58 @@ def oracle_sql() -> dict[str, str]:
             select truth_pairs, covered_pairs,
                    round(covered_pairs * 1.0 / truth_pairs, 6) as recall
             from tot, cov
+        """,
+        "p10_compare_detail": """
+            with c as (select lpad(cast(c_custkey as varchar),6,'0') as cid,
+                              c_nationkey as nk,
+                              lower(trim(c_name)) as name,
+                              lower(c_mktsegment) as segment,
+                              case when c_custkey % 3 = 0 then ''
+                                   else cast(c_custkey % 5 as varchar) end as flat
+                       from customer),
+            p as (select a.cid as id_a, b.cid as id_b,
+                         a.name as na, b.name as nb,
+                         a.segment as sa, b.segment as sb,
+                         a.flat as fa, b.flat as fb
+                  from c a join c b on a.nk = b.nk and a.cid < b.cid),
+            s as (select *,
+                         case when na <> '' and nb <> '' then
+                              case when na = nb then 1.0
+                                   else 1.0 - cast(levenshtein(na, nb) as double)
+                                            / greatest(length(na), length(nb)) end end as sim_name,
+                         case when sa <> '' and sb <> '' then
+                              case when sa = sb then 1.0
+                                   else 1.0 - cast(levenshtein(sa, sb) as double)
+                                            / greatest(length(sa), length(sb)) end end as sim_seg,
+                         case when fa <> '' and fb <> '' then
+                              case when fa = fb then 1.0
+                                   else 1.0 - cast(levenshtein(fa, fb) as double)
+                                            / greatest(length(fa), length(fb)) end end as sim_flat
+                  from p),
+            d as (select id_a, id_b,
+                         (coalesce(sim_name, 0) + coalesce(sim_seg, 0) + coalesce(sim_flat, 0))
+                           / nullif((case when sim_name is not null then 1 else 0 end)
+                                  + (case when sim_seg  is not null then 1 else 0 end)
+                                  + (case when sim_flat is not null then 1 else 0 end), 0) as raw,
+                         array_to_string(list_filter([
+                             case when sim_name is not null and sim_name >= 0.9 then 'name' end,
+                             case when sim_seg  is not null and sim_seg  >= 0.9 then 'segment' end,
+                             case when sim_flat is not null and sim_flat >= 0.9 then 'flat' end
+                         ], x -> x is not null), ',') as common,
+                         array_to_string(list_filter([
+                             case when ((na <> '') <> (nb <> ''))
+                                    or (sim_name is not null and sim_name < 0.9) then 'name' end,
+                             case when ((sa <> '') <> (sb <> ''))
+                                    or (sim_seg is not null and sim_seg < 0.9) then 'segment' end,
+                             case when ((fa <> '') <> (fb <> ''))
+                                    or (sim_flat is not null and sim_flat < 0.9) then 'flat' end
+                         ], x -> x is not null), ',') as differences
+                  from s)
+            select id_a, id_b, round(coalesce(raw, 0.0), 6) as score,
+                   coalesce(raw, 0.0) >= 0.85 as is_match,
+                   coalesce(common, '') as common,
+                   coalesce(differences, '') as differences
+            from d
         """,
         "p9_pr_curve": """
             with c as (select lpad(cast(c_custkey as varchar),6,'0') as cid,

@@ -262,3 +262,41 @@ def pr_curve(
         r.alias("recall"),
         F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)).alias("f1"),
     ).orderBy(F.col("threshold").desc())
+
+
+def compare_detail(
+    scored: DataFrame,
+    components: list[str] | None = None,
+    high: float = 0.9,
+    suffix_a: str = "_a",
+    suffix_b: str = "_b",
+) -> DataFrame:
+    """The reference ``compare()`` detail surface (extractor.py:425 →
+    address_utils.py:131-176): per pair, ``common`` = components where
+    both sides are present and similarity ≥ 0.9, ``differences`` =
+    components where exactly one side is present, or both are present
+    but similarity < 0.9 (both-absent components appear in neither).
+
+    Runs on :func:`score_pairs` output — ``sim_<comp>`` is non-null iff
+    both sides are present, so presence only needs re-deriving for the
+    one-sided case. Lists are emitted as comma-joined strings in
+    component order: deterministic, schema-stable, oracle-friendly.
+    """
+    components = components or ALL_COMPONENTS
+
+    def present(c: str, s: str):
+        v = F.lower(F.trim(F.col(c + s)))
+        return v.isNotNull() & (v != "")
+
+    commons, diffs = [], []
+    for c in components:
+        sim = F.col(f"sim_{c}")
+        both = sim.isNotNull()
+        one_side = present(c, suffix_a) != present(c, suffix_b)  # XOR
+        commons.append(F.when(both & (sim >= high), F.lit(c)))
+        diffs.append(F.when(one_side | (both & (sim < high)), F.lit(c)))
+    return (
+        scored
+        .withColumn("common", F.array_join(F.array_compact(F.array(*commons)), ","))
+        .withColumn("differences", F.array_join(F.array_compact(F.array(*diffs)), ","))
+    )

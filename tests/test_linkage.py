@@ -417,3 +417,35 @@ def test_pr_curve_hand_example(spark):
     )
     top = pr_curve(one, n_bins=10).collect()
     assert len(top) == 1 and top[0]["threshold"] == 0.9
+
+
+def test_compare_detail_reference_semantics(spark):
+    """compare_detail mirrors the reference compare() lists
+    (address_utils.py:131-176): common = both present & sim ≥ 0.9;
+    differences = one side present, or both present & sim < 0.9;
+    both-absent components appear in neither."""
+    from ai_bangladesh_address_parser_spark.operators.scoring import (
+        compare_detail,
+        score_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            ("p1", "12", "12", "road 5", "lane 7"),   # house common, road differs
+            ("p2", "12", "", "", ""),                  # house one-sided, road absent
+        ],
+        "pair_id string, house_number_a string, house_number_b string, "
+        "road_a string, road_b string",
+    )
+    comps = ["house_number", "road"]
+    out = {
+        r["pair_id"]: r
+        for r in compare_detail(
+            score_pairs(pairs, components=comps, scorer="levenshtein"),
+            components=comps,
+        ).collect()
+    }
+    assert out["p1"]["common"] == "house_number"
+    assert out["p1"]["differences"] == "road"
+    assert out["p2"]["common"] == ""
+    assert out["p2"]["differences"] == "house_number"
