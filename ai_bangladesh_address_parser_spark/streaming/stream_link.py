@@ -40,11 +40,21 @@ def run_incremental_link(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files: int = 16,
+    maintenance_every: int | None = None,
+    vacuum_retain: int = 1,
     **linker_kwargs,
 ):
     """Start the linkage stream; returns the StreamingQuery. Read the
     resulting entity table with ``IncrementalLinker(spark, state_dir)
-    .entities()`` after (or between) triggers."""
+    .entities()`` after (or between) triggers.
+
+    ``maintenance_every=N`` runs ``vacuum(vacuum_retain)`` + ``compact()``
+    after every batch whose committed version is a multiple of N —
+    the streaming twin of a scheduled Iceberg expire_snapshots/
+    rewrite_data_files job. Keyed on the linker's version (not the
+    stream's batch_id) so replays and empty batches don't skew the
+    cadence, and safe under replay: maintenance never changes what
+    reads resolve."""
     pages = read_page_stream(spark, input_dir, max_files=max_files)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -55,6 +65,9 @@ def run_incremental_link(
         linker = IncrementalLinker(
             batch_df.sparkSession, state_dir, **linker_kwargs)
         linker.link_batch(batch_df)
+        if maintenance_every and linker.version % maintenance_every == 0:
+            linker.vacuum(retain=vacuum_retain)
+            linker.compact()
 
     writer = (
         pages.writeStream.foreachBatch(_process)

@@ -140,3 +140,51 @@ def test_stream_link_equals_batch(spark, tmp_path):
         .select("url", "mention_id", "entity_id").collect()
     }
     assert got == want
+
+
+def test_stream_link_maintenance_cadence(spark, tmp_path):
+    """maintenance_every=2 vacuums/compacts after versions 2 (and any
+    later multiple); state stays correct and the stream's output equals
+    the batch run."""
+    import os
+
+    from ai_bangladesh_address_parser_spark.plans.incremental import (
+        IncrementalLinker,
+    )
+    from ai_bangladesh_address_parser_spark.plans.pipeline import LinkagePlan
+    from ai_bangladesh_address_parser_spark.streaming.stream_link import (
+        run_incremental_link,
+    )
+
+    pages, _ = synth_pages(spark, n_pages=240, n_entities=30)
+    pages = pages.localCheckpoint(eager=True)
+    src = str(tmp_path / "pages")
+    for i in range(3):
+        (pages.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == i)
+              .coalesce(1).write.mode("append").parquet(src))
+
+    state = str(tmp_path / "state")
+    q = run_incremental_link(
+        spark, src, state, str(tmp_path / "ck"), max_files=1,
+        maintenance_every=2)
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    linker = IncrementalLinker(spark, state)
+    assert linker.version == 3
+    # maintenance fired at version 2: v1 gone, keys/mentions ≤2 compacted
+    assert "v1" not in os.listdir(os.path.join(state, "nodes"))
+    assert sorted(os.listdir(os.path.join(state, "keys"))) == ["b3", "c2"]
+
+    got = {
+        (r["url"], r["mention_id"]): r["entity_id"]
+        for r in linker.entities().select("url", "mention_id", "entity_id").collect()
+    }
+    want = {
+        (r["url"], r["mention_id"]): r["entity_id"]
+        for r in LinkagePlan(spark).run(pages)
+        .select("url", "mention_id", "entity_id").collect()
+    }
+    assert got == want
