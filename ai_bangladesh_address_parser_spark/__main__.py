@@ -20,6 +20,9 @@ Verbs:
   extract          stage 1 only; writes the wide mention table
   split            extract + write partitioned by confidence band (D2)
   gazetteer-build  labeled records -> gazetteer dim with postal dominance (S2/A5)
+  ingest           day-2: link one page batch into persistent entity state
+                   (plans/incremental.py), optional on-cadence maintenance
+  state-maintain   vacuum superseded state versions + compact batch dirs
 
 No master/parallelism flags here: spark-submit (or the surrounding
 session) owns cluster sizing, so the same job runs unchanged at N and
@@ -124,6 +127,47 @@ def cmd_gazetteer_build(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Link one page batch against persistent entity state (the day-2
+    path): spark-submit twin of IncrementalLinker.link_batch."""
+    from ai_bangladesh_address_parser_spark.plans.incremental import IncrementalLinker
+
+    spark = _session("abap-ingest")
+    pages = _read(spark, args.input, args.format)
+    linker = IncrementalLinker(
+        spark, args.state,
+        scorer=args.scorer, threshold=args.threshold,
+        collect_metrics=True,
+    )
+    linker.link_batch(pages)
+    print(f"metric ingest: {linker.last_metrics}", file=sys.stderr)
+    if args.maintain_every and linker.version % args.maintain_every == 0:
+        linker.vacuum(retain=args.retain)
+        linker.compact()
+        print(f"metric maintenance: ran at v{linker.version}", file=sys.stderr)
+    if args.output:
+        _write(linker.entities(), args.output, args.format)
+    return 0
+
+
+def cmd_state_maintain(args) -> int:
+    """Vacuum superseded state versions + compact per-batch dirs —
+    the scheduled-maintenance verb (Iceberg deployments run
+    expire_snapshots/rewrite_data_files instead)."""
+    from ai_bangladesh_address_parser_spark.plans.incremental import IncrementalLinker
+
+    spark = _session("abap-state-maintain")
+    linker = IncrementalLinker(spark, args.state)
+    if linker.version == 0:
+        print("no committed state; nothing to do", file=sys.stderr)
+        return 0
+    linker.vacuum(retain=args.retain)
+    linker.compact()
+    print(f"metric maintenance: vacuumed+compacted at v{linker.version}",
+          file=sys.stderr)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ai_bangladesh_address_parser_spark")
     sub = p.add_subparsers(dest="verb", required=True)
@@ -157,6 +201,31 @@ def main(argv: list[str] | None = None) -> int:
     gb = sub.add_parser("gazetteer-build", help="build gazetteer dim from labeled records")
     common(gb)
     gb.set_defaults(fn=cmd_gazetteer_build)
+
+    ing = sub.add_parser(
+        "ingest", help="day-2: link one page batch into persistent entity state")
+    ing.add_argument("--input", required=True)
+    ing.add_argument("--state", required=True,
+                     help="incremental-linker state dir")
+    ing.add_argument("--output", default=None,
+                     help="optionally also write the current entity table")
+    ing.add_argument("--format", default="parquet",
+                     help="parquet (default) or iceberg")
+    ing.add_argument("--scorer", default="levenshtein",
+                     choices=["levenshtein", "difflib", "jaro_winkler", "token_jaccard"])
+    ing.add_argument("--threshold", type=float, default=0.85)
+    ing.add_argument("--maintain-every", type=int, default=None,
+                     help="run vacuum+compact after every Nth committed version")
+    ing.add_argument("--retain", type=int, default=1,
+                     help="state versions to keep when vacuuming")
+    ing.set_defaults(fn=cmd_ingest)
+
+    sm = sub.add_parser(
+        "state-maintain",
+        help="vacuum superseded state versions + compact per-batch dirs")
+    sm.add_argument("--state", required=True)
+    sm.add_argument("--retain", type=int, default=1)
+    sm.set_defaults(fn=cmd_state_maintain)
 
     args = p.parse_args(argv)
     return args.fn(args)
