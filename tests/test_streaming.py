@@ -174,9 +174,11 @@ def test_stream_link_maintenance_cadence(spark, tmp_path):
 
     linker = IncrementalLinker(spark, state)
     assert linker.version == 3
-    # maintenance fired at version 2: v1 gone, keys/mentions ≤2 compacted
-    assert "v1" not in os.listdir(os.path.join(state, "nodes"))
+    # maintenance fired at version 2: node deltas and key batches ≤2
+    # compacted, superseded edges snapshot vacuumed
+    assert sorted(os.listdir(os.path.join(state, "nodes"))) == ["c2", "d3"]
     assert sorted(os.listdir(os.path.join(state, "keys"))) == ["b3", "c2"]
+    assert "v1" not in os.listdir(os.path.join(state, "edges"))
 
     got = {
         (r["url"], r["mention_id"]): r["entity_id"]
