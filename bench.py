@@ -47,6 +47,14 @@ def _spark(cpus: int):
     return get_spark("abap-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def _corpus(spark, sf_dir: str, n_pages: int, neg_replicas: int = 1):
     from pyspark.sql import functions as F
 
@@ -767,6 +775,15 @@ def run_incremental() -> dict:
             t_delta = round(time.time() - t, 2)
             inc_ents = linker.entities().localCheckpoint(eager=True)
 
+            # write-I/O of the delta batch's node commit (nodes/d2)
+            # vs what a full-snapshot layout would have written per
+            # batch: the resolved node table, materialized once here
+            # for an honest apples-to-apples byte count
+            delta_bytes = _dir_bytes(f"{tmp}/state/nodes/d2")
+            snap_dir = f"{tmp}/snapshot_equiv"
+            linker.nodes().write.parquet(snap_dir)
+            snapshot_bytes = _dir_bytes(snap_dir)
+
             t = time.time()
             full_ents = (
                 LinkagePlan(spark).run(pages).localCheckpoint(eager=True)
@@ -782,6 +799,10 @@ def run_incremental() -> dict:
             "t_delta_ingest": t_delta,
             "t_full_relink": t_full,
             "delta_speedup_vs_relink": round(t_full / max(t_delta, 1e-9), 2),
+            "nodes_delta_write_bytes": delta_bytes,
+            "nodes_snapshot_equiv_bytes": snapshot_bytes,
+            "write_amplification_if_snapshot": round(
+                snapshot_bytes / max(delta_bytes, 1), 1),
             "incremental_f1": round(pairwise_f1(inc_ents, truth)["f1"], 6),
             "full_f1": round(pairwise_f1(full_ents, truth)["f1"], 6),
             "n_entities_incremental": (
