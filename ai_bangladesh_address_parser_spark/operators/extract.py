@@ -1030,7 +1030,7 @@ def full_hierarchy(df: DataFrame, postal_col: str = "postal_code",
     # h_-prefixed dim columns: the input df may itself carry
     # upazila/district/division columns (e.g. the resolved wide table)
     dim = F.broadcast(
-        up.join(un_list, up.name == un_list.upazila, "left").select(
+        up.join(F.broadcast(un_list), up.name == un_list.upazila, "left").select(
             F.col("postal_code").alias("h_postal"),
             F.col("name").alias("h_upazila"),
             F.col("district").alias("h_district"),

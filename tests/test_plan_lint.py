@@ -1,0 +1,152 @@
+"""Physical-plan lints: pin the scale properties the engine is built on.
+
+Correctness tests prove the operators compute the right rows; these
+prove the PLANS stay the plans that survive 100x — filters reach the
+parquet scan, dimension joins broadcast, expansion guards stay
+AQE-exempt, no operator regresses into a cartesian product or a
+row-at-a-time Python UDF. Each lint is a property that held when the
+matching BENCH.md evidence was recorded; a failure here means a perf
+regression that row-level tests cannot see.
+
+Plans are analyzed+optimized but never executed, so the whole module is
+cheap (~seconds) and runs over every oracled driver query.
+"""
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    """Formatted physical plan without executing the query."""
+    try:
+        return df.sparkSession._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+    except Exception:
+        # version-stable fallback: DataFrame.explain prints from Python
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain(mode)
+        return buf.getvalue()
+
+
+def _oracled_queries():
+    return sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = entry_mod.queries()
+    return {name: plan_str(qs[name](spark, sf_dir)) for name in _oracled_queries()}
+
+
+# --- global lints over every oracled query -------------------------------
+
+def test_no_cartesian_product_anywhere(plans):
+    """No oracled query may plan a cartesian or nested-loop join: both
+    are O(n*m) scans that a 100x input turns into a dead job. (j4's
+    priority-5 containment was the one historic BNL; it is now a
+    gram-prefilter equi-join — this pins that rework.)
+
+    One documented exemption: x1_ann_topk IS the exact brute-force
+    baseline — queries x corpus by design, planned as a broadcast
+    nested loop that stays narrow over the corpus (asserted separately
+    below)."""
+    offenders = {
+        name
+        for name, p in plans.items()
+        if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p
+    } - {"x1_ann_topk"}
+    assert not offenders, f"cartesian/BNL joins in: {sorted(offenders)}"
+
+
+def test_ann_baseline_is_broadcast_not_shuffle_cartesian(plans):
+    """The brute-force ANN baseline must broadcast the (tiny) query
+    side and never plan a shuffle cartesian: the scan over the corpus
+    is then a narrow map, which is the only shape an exact baseline
+    can take at scale."""
+    p = plans["x1_ann_topk"]
+    assert "BroadcastNestedLoopJoin" in p and "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_no_row_at_a_time_python_udf(plans):
+    """Python in a plan must be Arrow-batched (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas), never per-row BatchEvalPython
+    — the 10-100x serialization cliff the SURVEY design rules out."""
+    offenders = [
+        name
+        for name, p in plans.items()
+        if "BatchEvalPython" in p and "ArrowEvalPython" not in p
+    ]
+    assert not offenders, f"row-at-a-time Python UDF in: {offenders}"
+
+
+# --- per-query lints -------------------------------------------------------
+
+def test_s1_filters_reach_parquet_scan(plans):
+    """S1's contract IS pushdown: the shipdate/quantity filters and the
+    4-column projection must reach the parquet reader, not run post-scan
+    over full rows."""
+    p = plans["s1_scan_pushdown"]
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
+    schema = p.split("ReadSchema: ", 1)[1].splitlines()[0]
+    # column pruning: the scan must not read unprojected wide columns
+    assert "l_comment" not in schema and "l_extendedprice" not in schema, schema
+
+
+def test_dim_joins_broadcast(plans):
+    """Gazetteer/geo-hierarchy dims are hundreds-to-thousands of rows;
+    joining them by shuffle would shuffle the full mention table on a
+    key the dim side could ship for free."""
+    for name in ("j1_gazetteer_enrich", "j6_full_hierarchy", "t7_district_vocab"):
+        p = plans[name]
+        assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, (
+            f"{name}: dim join is not broadcast"
+        )
+        assert "SortMergeJoin" not in p, f"{name}: dim join shuffled (SMJ)"
+
+
+def test_expansion_joins_keep_explicit_width(plans):
+    """The AQE coalescing fix (BENCH.md 'AQE high-expansion fix'):
+    high-expansion self-joins sit behind an explicit-count repartition
+    (REPARTITION_BY_NUM), which AQE may not coalesce down to the tiny
+    pre-join byte size.
+
+    The list covers the oracled queries that PERFORM the expansion
+    join (p2's salted self-join, d2's shingle equi-join); d3/d4's
+    driver queries return band/bit signatures — their pair joins are
+    exercised by tests/test_corpus_ops.py."""
+    for name in ("p2_candidate_pairs", "d2_ngram_jaccard"):
+        assert "REPARTITION_BY_NUM" in plans[name], (
+            f"{name}: expansion join lost its explicit-width repartition"
+        )
+
+
+def test_row_transforms_stay_in_codegen(plans):
+    """Normalization/script detection are pure column expressions; they
+    must compile into whole-stage codegen, not fall out to interpreted
+    evaluation or Python."""
+    import re
+
+    for name in ("t2_normalize", "t1_script_detect"):
+        p = plans[name]
+        # formatted mode marks codegen'd nodes with a "* " prefix
+        assert re.search(r"(?m)^[\s:+-]*\* \w", p), f"{name}: no codegen span"
+        assert "EvalPython" not in p, f"{name}: Python stage in a pure-expression op"
+
+
+def test_scoring_hot_path_has_no_python_stage(plans):
+    """P1's default backend is the JVM levenshtein: the scored-pairs
+    plan must contain zero Python eval stages (difflib/jaro are opt-in
+    parity backends, not the hot path)."""
+    assert "EvalPython" not in plans["p1_score_pairs"]
