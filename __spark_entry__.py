@@ -1239,6 +1239,72 @@ def q_x5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint_expr("text").alias("fingerprint"))
 
 
+def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic crawl-shaped URLs over documents: 5 docs share an
+    article id; variants 0/1 and 2/3 are the same page spelled with
+    case/port/trailing-slash/tracking-param noise (the same VALUES
+    construction in the oracle), so canonicalization must merge them."""
+    art = F.expr("doc_id div 5").cast("string")
+    # the host is keyed on the ARTICLE (art % 7), not the doc, so the
+    # five variant spellings of one article land on one host and the
+    # canonical key can actually merge them
+    site = F.expr("(doc_id div 5) % 7").cast("string")
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTPS://News-"), site,
+            F.lit(".Example.COM:443/articles/"), art,
+            F.lit("/?utm_source=feed&b=2&a=1#frag")))
+        .when(v == 1, F.concat(
+            F.lit("https://news-"), site,
+            F.lit(".example.com/articles/"), art, F.lit("?a=1&b=2")))
+        .when(v == 2, F.concat(
+            F.lit("http://news-"), site,
+            F.lit(".example.com:80/tag/"), art, F.lit("/")))
+        .when(v == 3, F.concat(
+            F.lit("http://NEWS-"), site,
+            F.lit(".EXAMPLE.com/tag/"), art))
+        .otherwise(F.concat(
+            F.lit("https://cdn.example.com/assets/"),
+            F.col("doc_id").cast("string"), F.lit("?gclid=xyz&ref=home")))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", url.alias("url"))
+
+
+def q_x8_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/url.py): the crawl-dedup key as
+    one codegen projection — lowercase scheme/host, default-port and
+    fragment stripped, trailing slash and tracking params dropped,
+    surviving params byte-order sorted."""
+    from ai_bangladesh_address_parser_spark.functions.url import canonical_url_expr
+
+    u = _synth_urls(spark, sf_dir)
+    return u.select("doc_id", "url", canonical_url_expr("url").alias("canonical_url"))
+
+
+def q_x9_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level corpus statistics over canonical URLs — the per-domain
+    aggregation that drives domain quality filtering: page count, how
+    many distinct pages survive URL dedup, and mean document size."""
+    from ai_bangladesh_address_parser_spark.functions.url import (
+        canonical_url_expr,
+        host_expr,
+    )
+
+    u = _synth_urls(spark, sf_dir)
+    return (
+        u.select("n_chars", host_expr("url").alias("host"),
+                 canonical_url_expr("url").alias("canonical_url"))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("canonical_url").alias("n_canonical"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pushdown": q_s1_scan_pushdown,
@@ -1292,11 +1358,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_quality": q_x3_quality,
         "x4_token_count": q_x4_token_count,
         "x5_fingerprint": q_x5_fingerprint,
+        "x8_url_canonical": q_x8_url_canonical,
+        "x9_host_stats": q_x9_host_stats,
     }
 
 
 # ---------------------------------------------------------------------------
 # oracles (DuckDB SQL over the pre-registered views)
+
+# x8/x9: the same URL synthesis + canonicalization contract as
+# functions/url.py, in ANSI SQL (see that module's docstring for the
+# rule list). Tracking params are matched by substring prefix, not
+# LIKE, because LIKE's `_` wildcard would make 'utm_%' match 'utmX'.
+_URL_SYNTH_SQL = """
+    select doc_id, n_chars,
+      case cast(doc_id % 5 as int)
+        when 0 then 'HTTPS://News-' || cast((doc_id // 5) % 7 as varchar)
+                    || '.Example.COM:443/articles/'
+                    || cast(doc_id // 5 as varchar) || '/?utm_source=feed&b=2&a=1#frag'
+        when 1 then 'https://news-' || cast((doc_id // 5) % 7 as varchar)
+                    || '.example.com/articles/'
+                    || cast(doc_id // 5 as varchar) || '?a=1&b=2'
+        when 2 then 'http://news-' || cast((doc_id // 5) % 7 as varchar)
+                    || '.example.com:80/tag/'
+                    || cast(doc_id // 5 as varchar) || '/'
+        when 3 then 'http://NEWS-' || cast((doc_id // 5) % 7 as varchar)
+                    || '.EXAMPLE.com/tag/'
+                    || cast(doc_id // 5 as varchar)
+        else 'https://cdn.example.com/assets/' || cast(doc_id as varchar)
+             || '?gclid=xyz&ref=home'
+      end as url
+    from documents
+"""
+
+_URL_SCHEME_SQL = "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+_URL_AUTH_SQL = "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+_URL_HOST_SQL = (
+    f"case when {_URL_SCHEME_SQL} = 'http' then regexp_replace({_URL_AUTH_SQL}, ':80$', '') "
+    f"when {_URL_SCHEME_SQL} = 'https' then regexp_replace({_URL_AUTH_SQL}, ':443$', '') "
+    f"else {_URL_AUTH_SQL} end"
+)
+_URL_PATH_RAW_SQL = (
+    "regexp_replace(regexp_extract(url, "
+    "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')"
+)
+_URL_PATH_SQL = f"case when {_URL_PATH_RAW_SQL} = '' then '/' else {_URL_PATH_RAW_SQL} end"
+# coalesce: DuckDB array_to_string([]) is NULL where Spark array_join is ''
+_URL_QS_SQL = (
+    "coalesce(array_to_string(list_sort(list_filter(string_split("
+    "regexp_extract(url, '\\?([^#]*)', 1), '&'), "
+    "x -> x <> '' and substring(x, 1, 4) <> 'utm_' "
+    "and substring(x, 1, 7) <> 'fbclid=' "
+    "and substring(x, 1, 6) <> 'gclid=' "
+    "and substring(x, 1, 4) <> 'ref=')), '&'), '')"
+)
+_URL_CANON_SQL = (
+    f"{_URL_SCHEME_SQL} || '://' || {_URL_HOST_SQL} || {_URL_PATH_SQL} || "
+    f"case when {_URL_QS_SQL} = '' then '' else '?' || {_URL_QS_SQL} end"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2339,5 +2458,24 @@ def oracle_sql() -> dict[str, str]:
             select doc_id,
                    md5(array_to_string(list_sort(list_distinct({toks})), ' ')) as fingerprint
             from documents
+        """,
+        "x8_url_canonical": f"""
+            with u as ({_URL_SYNTH_SQL})
+            select doc_id, url, {_URL_CANON_SQL} as canonical_url
+            from u
+        """,
+        "x9_host_stats": f"""
+            with u as ({_URL_SYNTH_SQL}),
+            c as (
+                select n_chars, {_URL_HOST_SQL} as host,
+                       {_URL_CANON_SQL} as canonical_url
+                from u
+            )
+            select host,
+                   count(*) as n_pages,
+                   count(distinct canonical_url) as n_canonical,
+                   round(avg(n_chars), 6) as avg_chars
+            from c
+            group by host
         """,
     }
