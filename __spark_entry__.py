@@ -1305,6 +1305,58 @@ def q_x9_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e1_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event stats (operators/events.py): one
+    partial-aggregated shuffle on (window, event_type); window_start
+    emitted as a formatted string so the cross-engine hash compare is
+    timezone-proof."""
+    from ai_bangladesh_address_parser_spark.operators.events import (
+        windowed_event_stats,
+    )
+
+    return windowed_event_stats(_t(spark, sf_dir, "events"), window="1 hour")
+
+
+def q_e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/events.py): lag → boundary →
+    running-sum session ids, single user_id shuffle shared by both
+    window passes and the per-session groupBy."""
+    from ai_bangladesh_address_parser_spark.operators.events import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def q_s13_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming tumbling-window stats
+    (streaming/stream_events.py) over a file-source event stream,
+    availableNow + memory sink. Streaming state store — no SQL oracle;
+    batch ≡ stream equivalence is pytest-verified
+    (tests/test_events.py)."""
+    import tempfile
+
+    from ai_bangladesh_address_parser_spark.streaming.stream_events import (
+        EVENTS_SCHEMA,
+        stream_event_stats,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="abap_ev_q_")
+    _t(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(f"{tmp}/in")
+    s = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{tmp}/in")
+    q = (
+        stream_event_stats(s, window="1 hour")
+        .writeStream.format("memory").queryName("s13_event_stats")
+        .outputMode("complete").trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ck").start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return spark.sql(
+        "select window_start, event_type, n_events, sum_value from s13_event_stats"
+    ).orderBy("window_start", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pushdown": q_s1_scan_pushdown,
@@ -1360,6 +1412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_fingerprint": q_x5_fingerprint,
         "x8_url_canonical": q_x8_url_canonical,
         "x9_host_stats": q_x9_host_stats,
+        "e1_event_window": q_e1_event_window,
+        "e2_sessionize": q_e2_sessionize,
+        "s13_stream_events": q_s13_stream_events,
     }
 
 
@@ -2477,5 +2532,44 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_chars), 6) as avg_chars
             from c
             group by host
+        """,
+        # e1/e2: tumbling windows and gap sessions (operators/events.py).
+        # Epoch-aligned 1-hour F.window starts == date_trunc('hour') in a
+        # whole-hour-offset session timezone (UTC here); timestamps are
+        # compared as formatted strings (%f = 6-digit micros, matching
+        # Spark's SSSSSS). sum(boundary) is cast to bigint because DuckDB
+        # widens integer sums to HUGEINT while Spark emits bigint.
+        "e1_event_window": """
+            select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as window_start,
+                   event_type,
+                   count(*) as n_events,
+                   round(sum(value), 6) as sum_value,
+                   round(avg(value), 6) as avg_value,
+                   count(distinct user_id) as n_users
+            from events
+            group by 1, 2
+        """,
+        "e2_sessionize": """
+            with b as (
+                select user_id, ts, value,
+                       case when lag(ts) over (partition by user_id order by ts) is null
+                             or epoch_us(ts) - epoch_us(lag(ts) over
+                                  (partition by user_id order by ts)) > 30 * 60 * 1000000
+                            then 1 else 0 end as boundary
+                from events
+            ), s as (
+                select user_id, ts, value,
+                       cast(sum(boundary) over (partition by user_id order by ts
+                            rows between unbounded preceding and current row)
+                            as bigint) as session_seq
+                from b
+            )
+            select user_id, session_seq,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') as session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') as session_end,
+                   count(*) as n_events,
+                   round(sum(value), 6) as sum_value
+            from s
+            group by user_id, session_seq
         """,
     }

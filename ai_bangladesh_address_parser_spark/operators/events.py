@@ -1,0 +1,134 @@
+"""Event-stream analytics: tumbling-window stats and gap-based
+sessionization over the ``events`` table
+(``event_id, ts, user_id, event_type, value, props``).
+
+The reference repo is batch address parsing and has no time-series
+surface; at web scale the same engine also has to answer "what happened
+per hour / per visit" questions over crawl/interaction logs, and the
+batch operators here are the exact plans the Structured-Streaming
+variants (:mod:`..streaming.stream_events`) reuse, so batch ≡ stream
+equivalence is testable operator-for-operator.
+
+Scale notes (the properties that must survive 100 TB):
+
+* ``windowed_event_stats`` is one partial-aggregated shuffle on
+  ``(window, event_type)`` — map-side combine collapses each input
+  partition to (#windows × #types) rows before the exchange, so shuffle
+  volume is bounded by key cardinality, not event count.
+  ``countDistinct(user_id)`` expands that to one row per
+  (window, type, user) pre-shuffle — still bounded by active users per
+  window, the same state bound the streaming variant carries.
+* ``sessionize`` is one shuffle on ``user_id`` (the window-function
+  partition key); both passes (lag/cumsum, then session groupBy) reuse
+  that single hash partitioning — Catalyst plans no second exchange
+  because ``user_id`` is a prefix of the groupBy keys. Skewed users
+  (bots) bound the per-partition sort; a per-user event cap upstream is
+  the production guard, same pattern as blocking's ``max_block``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def windowed_event_stats(
+    events: DataFrame, window: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Tumbling-window per-event-type stats.
+
+    Emits ``window_start`` as a formatted UTC string (stable across
+    engines and hash comparators) plus count / sum / mean of ``value``
+    and distinct active users. ``F.window`` (not ``date_trunc``) so the
+    identical expression runs under ``readStream`` with a watermark.
+    """
+    return (
+        events.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+            "n_users",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, ts_col: str = "ts"
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes`` (strict ``>``, pinned to
+    match the SQL oracle; ``session_window`` splits exact-gap ties that
+    this form merges — tie-free microsecond data makes them identical,
+    which tests/test_events.py asserts).
+
+    Classic lag → boundary flag → running sum; both window passes and
+    the final per-session groupBy share the ``user_id`` hash
+    partitioning, so the whole operator is a single shuffle.
+    Equal-timestamp ties are safe: a 0 gap is never a boundary and the
+    running sum assigns tied rows the same session regardless of their
+    sort order within the tie.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    # timestamp_diff, not unix_micros: it accepts TIMESTAMP_NTZ (the
+    # parquet-native type here) and stays exact at microsecond grain so
+    # the strict ">" boundary matches the oracle's epoch_us arithmetic.
+    boundary = F.when(
+        prev.isNull()
+        | (F.timestamp_diff("microsecond", prev, F.col(ts_col)) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    with_sess = events.select(
+        "user_id",
+        ts_col,
+        "value",
+        F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "session_seq"
+        ),
+    )
+    return (
+        with_sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.date_format(F.min(ts_col), TS_FMT).alias("session_start"),
+            F.date_format(F.max(ts_col), TS_FMT).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def sessionize_native(
+    events: DataFrame, gap_minutes: int = 30, ts_col: str = "ts"
+) -> DataFrame:
+    """The same sessionization via Spark's built-in ``session_window``
+    (the streaming-capable form; merge semantics differ from
+    :func:`sessionize` only on exact-gap ties, where ``session_window``
+    also splits — pinned by tests/test_events.py). Used by the
+    streaming variant; batch callers get identical output on tie-free
+    data, which the equivalence test verifies.
+    """
+    return (
+        events.groupBy("user_id", F.session_window(ts_col, f"{gap_minutes} minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), TS_FMT).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,112 @@
+"""Event analytics: tumbling-window stats + sessionization, batch and
+streaming, and the batch ≡ stream equivalence that makes the streaming
+variants trustworthy."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ai_bangladesh_address_parser_spark.operators.events import (
+    sessionize,
+    sessionize_native,
+    windowed_event_stats,
+)
+from ai_bangladesh_address_parser_spark.streaming.stream_events import (
+    EVENTS_SCHEMA,
+    stream_event_stats,
+    stream_sessions,
+)
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_windowed_stats_conservation(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    stats = windowed_event_stats(ev, window="1 hour")
+    total = stats.agg(F.sum("n_events")).first()[0]
+    assert total == ev.count()
+    bad = stats.filter(
+        (F.col("n_users") > F.col("n_events")) | (F.col("n_events") <= 0)
+    ).count()
+    assert bad == 0
+    # window_start is truncated-to-hour wall clock (epoch-aligned 1h
+    # windows == date_trunc in a whole-hour-offset tz)
+    off = stats.filter(~F.col("window_start").rlike(r":00:00$")).count()
+    assert off == 0
+
+
+def test_sessionize_invariants(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    sess = sessionize(ev, gap_minutes=30).cache()
+    assert sess.agg(F.sum("n_events")).first()[0] == ev.count()
+    # session_seq is dense 1..K per user (running sum of boundary flags)
+    per_user = sess.groupBy("user_id").agg(
+        F.min("session_seq").alias("lo"),
+        F.max("session_seq").alias("hi"),
+        F.count("*").alias("k"),
+    )
+    assert per_user.filter(
+        (F.col("lo") != 1) | (F.col("hi") != F.col("k"))
+    ).count() == 0
+    # sessions of one user never overlap: start > previous end
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_seq")
+    overl = (
+        sess.withColumn("prev_end", F.lag("session_end").over(w))
+        .filter(F.col("prev_end").isNotNull()
+                & (F.col("session_start") <= F.col("prev_end")))
+        .count()
+    )
+    assert overl == 0
+    sess.unpersist()
+
+
+def test_sessionize_native_matches_lag_form(spark, sf_dir):
+    """session_window and the lag/cumsum form agree everywhere except
+    exact-gap ties (split by session_window, merged by the strict-``>``
+    lag form); microsecond-grain synthetic data has no such ties, so
+    the outputs must be identical."""
+    ev = _events(spark, sf_dir)
+    a = _rows(sessionize(ev, 30), ["user_id", "session_start", "n_events", "sum_value"])
+    b = _rows(sessionize_native(ev, 30),
+              ["user_id", "session_start", "n_events", "sum_value"])
+    assert a == b
+
+
+def _run_stream(spark, src_df, make_stream, name):
+    tmp = tempfile.mkdtemp(prefix=f"abap_ev_{name}_")
+    src_df.coalesce(2).write.mode("overwrite").parquet(f"{tmp}/in")
+    s = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{tmp}/in")
+    q = (
+        make_stream(s).writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ck").start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def test_stream_event_stats_equals_batch(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = _run_stream(spark, ev, lambda s: stream_event_stats(s, "1 hour"),
+                      "ev_stats_stream")
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(out, cols) == _rows(windowed_event_stats(ev, "1 hour"), cols)
+
+
+def test_stream_sessions_equals_batch(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = _run_stream(spark, ev, lambda s: stream_sessions(s, 30),
+                      "ev_sessions_stream")
+    cols = ["user_id", "session_start", "n_events", "sum_value"]
+    assert _rows(out, cols) == _rows(sessionize_native(ev, 30), cols)
