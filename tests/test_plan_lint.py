@@ -150,3 +150,28 @@ def test_scoring_hot_path_has_no_python_stage(plans):
     plan must contain zero Python eval stages (difflib/jaro are opt-in
     parity backends, not the hot path)."""
     assert "EvalPython" not in plans["p1_score_pairs"]
+
+
+def test_sessionize_is_single_shuffle(plans):
+    """e2's lag→cumsum→groupBy chain must plan exactly ONE Exchange:
+    both Window passes sort within the user_id hash partitioning and
+    the (user_id, session_seq) groupBy is partitioning-satisfied by its
+    user_id prefix. A second exchange here means the shared
+    partitioning broke — at 100x that is a full extra shuffle of every
+    event."""
+    p = plans["e2_sessionize"]
+    n = sum(1 for ln in p.splitlines() if ln.strip().startswith("(")
+            and "Exchange" in ln)
+    assert n == 1, f"e2_sessionize plans {n} exchanges, expected 1:\n{p}"
+
+
+def test_event_window_keeps_distinct_agg_shape(plans):
+    """e1 carries a countDistinct, so its floor is Spark's two-round
+    distinct-aggregate plan (partial on (window, type, user) ->
+    exchange -> merge -> exchange on (window, type) -> final). Pin <= 2
+    exchanges so a regression into a third shuffle (or a lost partial
+    aggregation) is caught."""
+    p = plans["e1_event_window"]
+    n = sum(1 for ln in p.splitlines() if ln.strip().startswith("(")
+            and "Exchange" in ln)
+    assert n <= 2, f"e1_event_window plans {n} exchanges, expected <=2:\n{p}"
