@@ -110,3 +110,61 @@ def test_stream_sessions_equals_batch(spark, sf_dir):
                       "ev_sessions_stream")
     cols = ["user_id", "session_start", "n_events", "sum_value"]
     assert _rows(out, cols) == _rows(sessionize_native(ev, 30), cols)
+
+
+def test_stream_watermark_finalizes_and_drops_late(spark):
+    """The claims that make the streaming stats runnable forever:
+    append mode emits a window only once the watermark passes its end
+    (bounded state), the watermark survives a checkpointed restart, and
+    an event arriving behind the restored watermark is dropped rather
+    than reopening finalized state.
+
+    Run 1 sees hour-0 and hour-10 events: the watermark advances to
+    08:0x, finalizing exactly the hour-0 window; hour-10 stays open.
+    Run 2 (same checkpoint) sees only a straggler back in hour 0 —
+    behind the restored watermark, so it must emit nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="abap_ev_wm_")
+
+    def _write(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts_s string, user_id bigint, "
+            "event_type string, value double, props string",
+        ).select(
+            "event_id",
+            F.to_timestamp("ts_s").cast("timestamp_ntz").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        ).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+
+    def _run():
+        # parquet sink, not memory: only a durable sink supports the
+        # checkpointed RESTART this test is about
+        s = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{tmp}/in")
+        q = (
+            stream_event_stats(s, "1 hour", watermark="2 hours")
+            .writeStream.format("parquet").option("path", f"{tmp}/out")
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ck").start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        return _rows(spark.read.parquet(f"{tmp}/out"),
+                     ["window_start", "event_type", "n_events"])
+
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    _write([(i, f"2024-01-01 00:{i:02d}:00", i % 3, "click", 1.0, "{}")
+            for i in range(10)])
+    _write([(100 + i, f"2024-01-01 10:{i:02d}:00", i % 3, "view", 2.0, "{}")
+            for i in range(10)])
+    finalized = [("2024-01-01 00:00:00", "click", 10)]
+    assert _run() == finalized
+
+    _write([(200, "2024-01-01 00:30:00", 0, "click", 1.0, "{}")])  # straggler
+    # restored watermark drops the straggler: the sink gains NO rows
+    assert _run() == finalized
