@@ -1326,6 +1326,24 @@ def q_e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def q_e3_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type exact value quantiles (operators/events.py): Spark
+    `percentile` == ANSI quantile_cont; the approx (sketch) variant is
+    the 100 TB path, error-measured in tests/test_events.py."""
+    from ai_bangladesh_address_parser_spark.operators.events import value_quantiles
+
+    return value_quantiles(_t(spark, sf_dir, "events"))
+
+
+def q_e4_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users per event type by total value (operators/events.py):
+    map-side-combined (type, user) agg, then a rank window over one row
+    per user — deterministic user_id tie-break."""
+    from ai_bangladesh_address_parser_spark.operators.events import top_users
+
+    return top_users(_t(spark, sf_dir, "events"), k=3)
+
+
 def q_s13_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming tumbling-window stats
     (streaming/stream_events.py) over a file-source event stream,
@@ -1414,6 +1432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_host_stats": q_x9_host_stats,
         "e1_event_window": q_e1_event_window,
         "e2_sessionize": q_e2_sessionize,
+        "e3_quantiles": q_e3_quantiles,
+        "e4_top_users": q_e4_top_users,
         "s13_stream_events": q_s13_stream_events,
     }
 
@@ -2571,5 +2591,35 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) as sum_value
             from s
             group by user_id, session_seq
+        """,
+        # e3: Spark's exact `percentile` and DuckDB's quantile_cont share
+        # the linear-interpolation definition, so values match to the
+        # 6-decimal rounding. e4: row_number with user_id tie-break makes
+        # top-k deterministic in both engines.
+        "e3_quantiles": """
+            select event_type,
+                   count(*) as n_events,
+                   round(quantile_cont(value, 0.5), 6) as p50,
+                   round(quantile_cont(value, 0.95), 6) as p95,
+                   round(quantile_cont(value, 0.99), 6) as p99
+            from events
+            group by event_type
+        """,
+        "e4_top_users": """
+            with per_user as (
+                select event_type, user_id,
+                       round(sum(value), 6) as total_value
+                from events
+                group by event_type, user_id
+            ), ranked as (
+                select event_type, user_id, total_value,
+                       cast(row_number() over (partition by event_type
+                            order by total_value desc, user_id asc)
+                            as int) as rk
+                from per_user
+            )
+            select event_type, user_id, total_value, rk
+            from ranked
+            where rk <= 3
         """,
     }

@@ -109,6 +109,48 @@ def sessionize(
     )
 
 
+def value_quantiles(
+    events: DataFrame, probs=(0.5, 0.95, 0.99), approx: bool = False
+) -> DataFrame:
+    """Per-event-type value quantiles (p50/p95/p99 by default).
+
+    ``approx=False`` uses Spark's exact ``percentile`` (linear
+    interpolation — same definition as ANSI ``quantile_cont``, verified
+    value-identical against DuckDB); exact percentile holds all values
+    per group, so it is the small-group / oracle-parity form.
+    ``approx=True`` switches to ``percentile_approx`` (KLL-style
+    mergeable sketch, constant memory per group) — the 100 TB path;
+    tests/test_events.py measures its rank error against exact.
+    """
+    fn = (lambda c, p: F.percentile_approx(c, p)) if approx else (
+        lambda c, p: F.percentile(c, p))
+    aggs = [
+        F.round(fn("value", F.lit(p)), 6).alias(f"p{int(p * 100)}") for p in probs
+    ]
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), *aggs
+    )
+
+
+def top_users(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` users per event type by total value, deterministic
+    tie-break on user_id. Two-stage: the (type, user) groupBy collapses
+    events map-side before its shuffle, then the rank window sees one
+    row per (type, user) — so the expensive pass is bounded by user
+    cardinality, not event count, and the window sort per type is over
+    already-aggregated rows."""
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 6).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        per_user.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def sessionize_native(
     events: DataFrame, gap_minutes: int = 30, ts_col: str = "ts"
 ) -> DataFrame:

@@ -168,3 +168,54 @@ def test_stream_watermark_finalizes_and_drops_late(spark):
     _write([(200, "2024-01-01 00:30:00", 0, "click", 1.0, "{}")])  # straggler
     # restored watermark drops the straggler: the sink gains NO rows
     assert _run() == finalized
+
+
+def test_quantiles_approx_error_vs_exact(spark, sf_dir):
+    """percentile_approx is the constant-memory 100 TB path. Its
+    guarantee is on RANK, not value (it returns an observed sample, no
+    interpolation — in a sparse tail the nearest sample can sit far
+    from the interpolated exact value). Pin that contract: each approx
+    quantile must lie within the exact [p-0.02, p+0.02] value bracket
+    of its own group."""
+    from ai_bangladesh_address_parser_spark.operators.events import value_quantiles
+
+    ev = _events(spark, sf_dir)
+    approx = {r["event_type"]: r for r in value_quantiles(ev, approx=True).collect()}
+    brackets = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type").agg(
+            *[F.percentile("value", F.lit(q)).alias(f"q{i}")
+              for i, q in enumerate(
+                  [0.48, 0.52, 0.93, 0.97, 0.97, 1.0])]
+        ).collect()
+    }
+    assert approx.keys() == brackets.keys()
+    for et, a in approx.items():
+        b = brackets[et]
+        for p, (lo, hi) in {"p50": ("q0", "q1"), "p95": ("q2", "q3"),
+                            "p99": ("q4", "q5")}.items():
+            assert b[lo] <= a[p] <= b[hi], (
+                f"{et}.{p}={a[p]} outside rank bracket [{b[lo]}, {b[hi]}]")
+
+
+def test_top_users_deterministic_and_ordered(spark, sf_dir):
+    from ai_bangladesh_address_parser_spark.operators.events import top_users
+
+    ev = _events(spark, sf_dir)
+    rows = top_users(ev, k=3).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        # non-increasing totals; ties broken by ascending user_id
+        for a, b in zip(rs, rs[1:]):
+            assert (a["total_value"], -a["user_id"]) >= (b["total_value"], -b["user_id"])
+        # rank-1 really is the max over ALL users of this type
+        top = (ev.filter(F.col("event_type") == et)
+               .groupBy("user_id").agg(F.round(F.sum("value"), 6).alias("t"))
+               .agg(F.max("t")).first()[0])
+        assert rs[0]["total_value"] == top
+    # two runs agree exactly (tie-break pins the row set)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, top_users(ev, 3).collect()))
