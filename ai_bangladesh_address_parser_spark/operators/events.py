@@ -124,8 +124,10 @@ def value_quantiles(
     """
     fn = (lambda c, p: F.percentile_approx(c, p)) if approx else (
         lambda c, p: F.percentile(c, p))
+    # round, not int: int(0.29*100) == 28 under binary floats, which
+    # would silently mislabel a caller-supplied quantile column
     aggs = [
-        F.round(fn("value", F.lit(p)), 6).alias(f"p{int(p * 100)}") for p in probs
+        F.round(fn("value", F.lit(p)), 6).alias(f"p{round(p * 100)}") for p in probs
     ]
     return events.groupBy("event_type").agg(
         F.count("*").alias("n_events"), *aggs
