@@ -1344,6 +1344,25 @@ def q_e4_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_users(_t(spark, sf_dir, "events"), k=3)
 
 
+def q_e5_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key (operators/events.py): deterministic
+    max_by(struct, struct) — one partial-agg shuffle, O(keys) shuffle
+    volume, no per-key sort (the window row_number spelling is the
+    oracle, not the plan)."""
+    from ai_bangladesh_address_parser_spark.operators.events import latest_per_key
+
+    return latest_per_key(_t(spark, sf_dir, "events"))
+
+
+def q_e6_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel view→click→purchase (operators/events.py):
+    per-step min-ts chained on user_id joins, strict event-time
+    ordering between steps."""
+    from ai_bangladesh_address_parser_spark.operators.events import funnel
+
+    return funnel(_t(spark, sf_dir, "events"))
+
+
 def q_s13_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming tumbling-window stats
     (streaming/stream_events.py) over a file-source event stream,
@@ -1434,6 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_sessionize": q_e2_sessionize,
         "e3_quantiles": q_e3_quantiles,
         "e4_top_users": q_e4_top_users,
+        "e5_latest_per_key": q_e5_latest_per_key,
+        "e6_funnel": q_e6_funnel,
         "s13_stream_events": q_s13_stream_events,
     }
 
@@ -2621,5 +2642,49 @@ def oracle_sql() -> dict[str, str]:
             select event_type, user_id, total_value, rk
             from ranked
             where rk <= 3
+        """,
+        # e5: the oracle is the window spelling of latest-per-key; the
+        # Spark plan is max_by (no sort) — same rows by the (ts,
+        # event_id) deterministic order. e6: strict ts > prev-step
+        # first-completion, chained CTEs on user_id.
+        "e5_latest_per_key": """
+            with ranked as (
+                select user_id, event_id, ts, event_type, value,
+                       row_number() over (partition by user_id
+                            order by ts desc, event_id desc) as rn
+                from events
+            )
+            select user_id,
+                   event_id as last_event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') as last_ts,
+                   event_type as last_event_type,
+                   value as last_value
+            from ranked
+            where rn = 1
+        """,
+        "e6_funnel": """
+            with s1 as (
+                select user_id, min(ts) as t from events
+                where event_type = 'view' group by user_id
+            ), s2 as (
+                select e.user_id, min(e.ts) as t
+                from events e join s1 on e.user_id = s1.user_id and e.ts > s1.t
+                where e.event_type = 'click' group by e.user_id
+            ), s3 as (
+                select e.user_id, min(e.ts) as t
+                from events e join s2 on e.user_id = s2.user_id and e.ts > s2.t
+                where e.event_type = 'purchase' group by e.user_id
+            ), c as (
+                select 1 as step_idx, 'view' as step,
+                       (select count(*) from s1) as n_users
+                union all
+                select 2, 'click', (select count(*) from s2)
+                union all
+                select 3, 'purchase', (select count(*) from s3)
+            )
+            select step_idx, step, n_users,
+                   round(n_users * 1.0 / first_value(n_users)
+                         over (order by step_idx), 6) as pct_of_first
+            from c
         """,
     }

@@ -153,6 +153,68 @@ def top_users(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def latest_per_key(
+    events: DataFrame,
+    key: str = "user_id",
+    order_cols=("ts", "event_id"),
+    payload=("event_id", "ts", "event_type", "value"),
+) -> DataFrame:
+    """Most-recent record per key — the crawl-snapshot primitive
+    (latest fetch per canonical URL) expressed over events.
+
+    ``max_by(struct(payload), struct(order_cols))`` plans as a
+    partial-then-final SortAggregate around ONE exchange: each input
+    partition sorts by the group key, collapses to one candidate per
+    key, and only those survivors shuffle — O(keys) shuffle volume.
+    The window-function spelling (``row_number() == 1``, the oracle)
+    instead shuffles EVERY row and then sorts each key group, which is
+    the shape that dies first on a 100 TB log. The struct order key
+    makes ties deterministic (lexicographic on ``order_cols``)."""
+    ordk = F.struct(*[F.col(c) for c in order_cols])
+    row = F.max_by(F.struct(*[F.col(c) for c in payload]), ordk).alias("r")
+    out = events.groupBy(key).agg(row).select(
+        key, *[F.col(f"r.{c}").alias(f"last_{c}") for c in payload]
+    )
+    if "ts" in payload:  # engine-stable string form for comparisons
+        out = out.withColumn("last_ts", F.date_format("last_ts", TS_FMT))
+    return out
+
+
+def funnel(events: DataFrame, steps=("view", "click", "purchase")) -> DataFrame:
+    """Ordered-step funnel: how many users performed step 1, then step
+    2 STRICTLY AFTER their first step 1, then step 3 strictly after
+    that, by event time.
+
+    Each stage is ``filter(type) → min(ts) per user`` joined to the
+    previous stage's first-completion time — every join and groupBy
+    keys on ``user_id``, so the whole chain reuses one hash
+    partitioning and each stage's input shrinks to the survivors.
+    Returns one row per step with the surviving user count and the
+    conversion rate vs step 1."""
+    prev = None  # DataFrame[user_id, t_k]: first completion of step k
+    counts = []
+    for i, step in enumerate(steps):
+        cur = events.filter(F.col("event_type") == step)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(F.col("ts") > F.col("_t"))
+        prev = cur.groupBy("user_id").agg(F.min("ts").alias("_t"))
+        counts.append(
+            prev.agg(F.count("*").alias("n_users"))
+            .select(F.lit(i + 1).alias("step_idx"), F.lit(step).alias("step"),
+                    "n_users")
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    first = F.first("n_users").over(
+        Window.orderBy("step_idx").rowsBetween(Window.unboundedPreceding,
+                                               Window.unboundedFollowing)
+    )
+    return out.withColumn(
+        "pct_of_first", F.round(F.col("n_users") / first, 6)
+    )
+
+
 def sessionize_native(
     events: DataFrame, gap_minutes: int = 30, ts_col: str = "ts"
 ) -> DataFrame:

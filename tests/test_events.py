@@ -219,3 +219,54 @@ def test_top_users_deterministic_and_ordered(spark, sf_dir):
         assert rs[0]["total_value"] == top
     # two runs agree exactly (tie-break pins the row set)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, top_users(ev, 3).collect()))
+
+
+def test_latest_per_key_matches_window_spelling(spark, sf_dir):
+    """max_by(struct, struct) must pick exactly the row the window
+    row_number spelling picks (deterministic (ts, event_id) order)."""
+    from pyspark.sql import Window
+
+    from ai_bangladesh_address_parser_spark.operators.events import latest_per_key
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    ref = (ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+           .select("user_id", F.col("event_id").alias("last_event_id"),
+                   F.col("event_type").alias("last_event_type"),
+                   F.col("value").alias("last_value")))
+    cols = ["user_id", "last_event_id", "last_event_type", "last_value"]
+    assert _rows(latest_per_key(ev), cols) == _rows(ref, cols)
+
+
+def test_funnel_brute_force_and_invariants(spark, sf_dir):
+    """Funnel counts vs an independent per-user Python brute force
+    (strict event-time ordering), plus shape invariants."""
+    from ai_bangladesh_address_parser_spark.operators.events import funnel
+
+    ev = _events(spark, sf_dir)
+    steps = ("view", "click", "purchase")
+    rows = sorted(funnel(ev, steps).collect(), key=lambda r: r["step_idx"])
+    assert [r["step"] for r in rows] == list(steps)
+    assert rows[0]["pct_of_first"] == 1.0
+    ns = [r["n_users"] for r in rows]
+    assert ns == sorted(ns, reverse=True)  # monotone non-increasing
+
+    # brute force
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for e in ev.select("user_id", "ts", "event_type").collect():
+        by_user[e["user_id"]].append((e["ts"], e["event_type"]))
+    counts = [0] * len(steps)
+    for evs in by_user.values():
+        evs.sort()
+        t_prev = None
+        for i, step in enumerate(steps):
+            nxt = [t for t, et in evs
+                   if et == step and (t_prev is None or t > t_prev)]
+            if not nxt:
+                break
+            t_prev = min(nxt)
+            counts[i] += 1
+    assert ns == counts

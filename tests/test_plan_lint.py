@@ -175,3 +175,18 @@ def test_event_window_keeps_distinct_agg_shape(plans):
     n = sum(1 for ln in p.splitlines() if ln.strip().startswith("(")
             and "Exchange" in ln)
     assert n <= 2, f"e1_event_window plans {n} exchanges, expected <=2:\n{p}"
+
+
+def test_latest_per_key_is_aggregate_not_window(plans):
+    """e5's scale claim: latest-per-key is a partial-aggregated max_by
+    — one exchange carrying O(keys) rows — NOT the window row_number
+    spelling (full-row shuffle + per-key sort). Pin: exactly one
+    Exchange, zero Window nodes, and a partial aggregate upstream of
+    the exchange."""
+    p = plans["e5_latest_per_key"]
+    nodes = [ln.strip() for ln in p.splitlines() if ln.strip().startswith("(")]
+    assert sum("Exchange" in n for n in nodes) == 1, nodes
+    assert not any("Window" in n for n in nodes), nodes
+    aggs = [i for i, n in enumerate(nodes) if "Aggregate" in n]
+    exch = next(i for i, n in enumerate(nodes) if "Exchange" in n)
+    assert any(i < exch for i in aggs), f"no partial agg before exchange: {nodes}"
