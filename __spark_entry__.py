@@ -1239,6 +1239,81 @@ def q_x5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint_expr("text").alias("fingerprint"))
 
 
+def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic line structure over the (newline-free) documents
+    corpus: a newline after every 7th token, a per-doc boilerplate
+    footer line shared by every 3rd doc (three footer classes → real
+    cross-document repeats), and every 4th doc repeats its own first
+    line at the end (real within-document duplication). Mirrored
+    exactly by ``_LINED_SQL`` in the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    lined = F.regexp_replace(F.col("text"), r"((?:\S+ ){7})", "$1\n")
+    boiler = F.concat(
+        F.lit("subscribe to our newsletter footer v"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    first_line = F.element_at(F.split(lined, "\n"), 1)
+    text = F.concat(
+        lined,
+        F.lit("\n"),
+        boiler,
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(F.lit("\n"), first_line)
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
+def q_x10_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style line-repetition signals per document (duplicate
+    line fraction + duplicate line character fraction) as pure codegen
+    expressions over a synthetic lined corpus."""
+    from ai_bangladesh_address_parser_spark.operators.text_analysis import repetition_cols
+
+    d = _lined_docs(spark, sf_dir)
+    cols = repetition_cols("text")
+    return d.select(
+        "doc_id",
+        cols["n_lines"].cast("bigint").alias("n_lines"),
+        cols["dup_line_frac"].alias("dup_line_frac"),
+        cols["dup_line_char_frac"].alias("dup_line_char_frac"),
+    )
+
+
+def q_x11_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent word bigram per document + the token-character
+    fraction it covers (the Gopher top n-gram repetition filter);
+    explode → two partial-agg'd groupBys, no window."""
+    from ai_bangladesh_address_parser_spark.operators.text_analysis import top_ngram
+
+    d = _t(spark, sf_dir, "documents")
+    out = top_ngram(d, "doc_id", "text", n=2)
+    return out.select(
+        "doc_id",
+        "top_gram",
+        F.col("gram_count").cast("bigint").alias("gram_count"),
+        "top_gram_char_frac",
+    )
+
+
+def q_x12_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus repeated paragraphs (C4-style boilerplate
+    discovery): lines occurring in ≥2 distinct documents, keyed by
+    content hash, with document and occurrence counts."""
+    from ai_bangladesh_address_parser_spark.operators.text_analysis import (
+        repeated_paragraphs,
+    )
+
+    d = _lined_docs(spark, sf_dir)
+    out = repeated_paragraphs(d, "doc_id", "text", min_docs=2)
+    return out.select(
+        "para_hash",
+        "paragraph",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+    )
+
+
 def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic crawl-shaped URLs over documents: 5 docs share an
     article id; variants 0/1 and 2/3 are the same page spelled with
@@ -1449,6 +1524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_fingerprint": q_x5_fingerprint,
         "x8_url_canonical": q_x8_url_canonical,
         "x9_host_stats": q_x9_host_stats,
+        "x10_repetition": q_x10_repetition,
+        "x11_top_ngram": q_x11_top_ngram,
+        "x12_paragraph_dedup": q_x12_paragraph_dedup,
         "e1_event_window": q_e1_event_window,
         "e2_sessionize": q_e2_sessionize,
         "e3_quantiles": q_e3_quantiles,
@@ -1466,6 +1544,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # functions/url.py, in ANSI SQL (see that module's docstring for the
 # rule list). Tracking params are matched by substring prefix, not
 # LIKE, because LIKE's `_` wildcard would make 'utm_%' match 'utmX'.
+# x10/x12: the same deterministic line synthesis as _lined_docs — a
+# newline after every 7th token, a 3-class boilerplate footer, every
+# 4th doc repeating its own first line. RE2's \1 backreference in the
+# replacement mirrors Java's $1; chr(10) is the literal newline.
+_LINED_EXPR_SQL = (
+    "regexp_replace(text, '((?:\\S+ ){7})', '\\1' || chr(10), 'g')"
+)
+_LINED_SQL = f"""
+    select doc_id,
+      {_LINED_EXPR_SQL}
+      || chr(10) || 'subscribe to our newsletter footer v'
+      || cast(doc_id % 3 as varchar)
+      || case when doc_id % 4 = 0
+              then chr(10) || split_part({_LINED_EXPR_SQL}, chr(10), 1)
+              else '' end
+      as text
+    from documents
+"""
+
 _URL_SYNTH_SQL = """
     select doc_id, n_chars,
       case cast(doc_id % 5 as int)
@@ -2554,6 +2651,57 @@ def oracle_sql() -> dict[str, str]:
             select doc_id,
                    md5(array_to_string(list_sort(list_distinct({toks})), ' ')) as fingerprint
             from documents
+        """,
+        "x10_repetition": f"""
+            with d as ({_LINED_SQL}),
+            l as (select doc_id,
+                         list_filter(regexp_split_to_array(trim(text), '\\s*\\n\\s*'),
+                                     x -> x != '') as lines
+                  from d)
+            select doc_id,
+                   len(lines) as n_lines,
+                   case when len(lines) > 0
+                        then round(cast(len(lines) - len(list_distinct(lines)) as double)
+                                   / len(lines), 6)
+                        else 0.0 end as dup_line_frac,
+                   case when length(array_to_string(lines, '')) > 0
+                        then round(cast(length(array_to_string(lines, ''))
+                                        - length(array_to_string(list_distinct(lines), '')) as double)
+                                   / length(array_to_string(lines, '')), 6)
+                        else 0.0 end as dup_line_char_frac
+            from l
+        """,
+        "x11_top_ngram": f"""
+            with m as (select doc_id, {toks} as toks from documents),
+            g as (select doc_id,
+                         length(array_to_string(toks, '')) as tok_chars,
+                         unnest(list_transform(range(len(toks) - 1),
+                                               i -> toks[i + 1] || ' ' || toks[i + 2])) as gram
+                  from m where len(toks) >= 2),
+            c as (select doc_id, gram, min(tok_chars) as tok_chars,
+                         count(*) as cnt
+                  from g group by doc_id, gram),
+            r as (select *, row_number() over (
+                      partition by doc_id order by cnt desc, gram desc) as rn
+                  from c)
+            select doc_id, gram as top_gram, cnt as gram_count,
+                   round(cast(cnt * length(replace(gram, ' ', '')) as double)
+                         / tok_chars, 6) as top_gram_char_frac
+            from r where rn = 1
+        """,
+        "x12_paragraph_dedup": f"""
+            with d as ({_LINED_SQL}),
+            l as (select doc_id,
+                         unnest(list_filter(regexp_split_to_array(trim(text), '\\s*\\n\\s*'),
+                                            x -> x != '')) as para
+                  from d)
+            select md5(para) as para_hash,
+                   min(para) as paragraph,
+                   count(distinct doc_id) as n_docs,
+                   count(*) as n_occurrences
+            from l
+            group by md5(para)
+            having count(distinct doc_id) >= 2
         """,
         "x8_url_canonical": f"""
             with u as ({_URL_SYNTH_SQL})

@@ -62,6 +62,23 @@ def shingles_expr(c: Column | str, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.array_join(toks, " "))))
 
 
+def ngrams_expr(c: Column | str, k: int = 2) -> Column:
+    """Non-distinct k-token grams (space-joined), one per position —
+    the *counting* twin of ``shingles_expr`` (same zip_with
+    construction) with no ``array_distinct`` and no short-doc
+    fallback: a document with fewer than ``k`` tokens yields an empty
+    array. Used by repetition analysis, which needs occurrence counts,
+    not set membership."""
+    toks = tokens_expr(c)
+    n = F.size(toks)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    g = F.slice(toks, 1, m)
+    for j in range(1, k):
+        g = F.zip_with(g, F.slice(toks, 1 + j, m),
+                       lambda a, b: F.concat(a, F.lit(" "), b))
+    return g
+
+
 # --- exact -----------------------------------------------------------------
 
 def exact_duplicates(

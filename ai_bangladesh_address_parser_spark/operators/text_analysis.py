@@ -1,18 +1,22 @@
 """Text-analysis operators for the web-corpus pipeline: language ID,
-quality scoring, token counting, document fingerprinting.
+quality scoring, token counting, document fingerprinting, and
+repetition/boilerplate signals (Gopher-style repetition filters).
 
-All pure Catalyst column expressions (whole-stage codegen; zero
-Python). These run in the same narrow stage as mention extraction on
-the 100 TB corpus — one pass over ``text`` computes everything.
+The per-document signals are pure Catalyst column expressions
+(whole-stage codegen; zero Python) and run in the same narrow stage as
+mention extraction on the 100 TB corpus — one pass over ``text``
+computes everything. The two corpus-level operators (``top_ngram``,
+``repeated_paragraphs``) are explode→partial-agg plans: one shuffle
+each, map-side combined, no Python.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.script import _ASCII_ALPHA, _BANGLA_CLASS, _count_matches
-from .dedup import tokens_expr
+from .dedup import ngrams_expr, tokens_expr
 
 # Small, fixed stopword lists (public, high-frequency function words).
 EN_STOPWORDS = [
@@ -114,3 +118,123 @@ def fingerprint_expr(text_col: str = "text") -> Column:
     sorted distinct token list. Pages with permuted/duplicated content
     collide; any token change breaks the collision."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens_expr(F.col(text_col)))), " "))
+
+
+# --- repetition / boilerplate (Gopher-style filters) ----------------------
+
+# Split on newlines, absorbing surrounding whitespace, so a line's
+# trailing space before '\n' (or before end-of-text after trim) never
+# breaks line identity. Pure regex split — no per-line trim lambda.
+_LINE_SPLIT = r"\s*\n\s*"
+
+
+def lines_expr(c: Column | str) -> Column:
+    """Non-empty whitespace-trimmed lines of a document."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.array_remove(F.split(F.trim(c), _LINE_SPLIT), "")
+
+
+def repetition_cols(text_col: str = "text") -> dict[str, Column]:
+    """Line-level repetition signals (the Gopher/MassiveText
+    ``duplicate line fraction`` family), per document, as pure codegen
+    expressions:
+
+    * ``n_lines`` — non-empty lines;
+    * ``dup_line_frac`` — fraction of lines that repeat an earlier
+      line (1 − distinct/total);
+    * ``dup_line_char_frac`` — fraction of line characters inside
+      those repeats (char mass of all lines minus char mass of the
+      distinct set, over the total) — catches a short doc whose one
+      long boilerplate line repeats.
+
+    Both are 0.0 for empty / newline-free documents (a single line
+    cannot repeat)."""
+    lines = lines_expr(text_col)
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    total_chars = F.length(F.array_join(lines, ""))
+    distinct_chars = F.length(F.array_join(F.array_distinct(lines), ""))
+    dup_frac = F.when(
+        n_lines > 0, (n_lines - n_distinct) / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    dup_char_frac = F.when(
+        total_chars > 0,
+        (total_chars - distinct_chars) / total_chars.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": F.round(dup_frac, 6),
+        "dup_line_char_frac": F.round(dup_char_frac, 6),
+    }
+
+
+def top_ngram(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Most frequent word ``n``-gram per document + the fraction of
+    (non-space) token characters it covers — the Gopher ``top n-gram
+    character fraction`` repetition filter.
+
+    Plan: explode the non-distinct gram array → groupBy (id, gram)
+    count (map-side combined, the only data-sized shuffle) → groupBy
+    (id) taking ``max(struct(cnt, gram))`` (partial-agg'd, O(docs)
+    rows) — no window, no sort of the full gram table. Tie-break is
+    deterministic: highest count, then lexicographically greatest
+    gram. Documents with fewer than ``n`` tokens are absent (no
+    gram exists)."""
+    tok_chars = F.length(F.array_join(tokens_expr(text_col), ""))
+    grams = (
+        df.select(
+            F.col(id_col),
+            tok_chars.alias("_tok_chars"),
+            F.explode(ngrams_expr(text_col, n)).alias("gram"),
+        )
+        .groupBy(id_col, "gram")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("_tok_chars").alias("_tok_chars"),
+        )
+    )
+    best = grams.groupBy(id_col).agg(
+        F.max(F.struct("cnt", "gram", "_tok_chars")).alias("m")
+    )
+    gram_chars = F.length(F.replace(F.col("m.gram"), F.lit(" "), F.lit("")))
+    return best.select(
+        id_col,
+        F.col("m.gram").alias("top_gram"),
+        F.col("m.cnt").alias("gram_count"),
+        F.round(
+            F.col("m.cnt") * gram_chars / F.col("m._tok_chars").cast("double"), 6
+        ).alias("top_gram_char_frac"),
+    )
+
+
+def repeated_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-corpus boilerplate detection: lines (paragraphs) that
+    occur in ≥ ``min_docs`` distinct documents, with occurrence
+    counts — the discovery pass behind C4-style "remove any line seen
+    ≥ N times" filtering.
+
+    Plan: explode lines → groupBy md5(line) with partial aggregation —
+    one (hash)-keyed shuffle whose width is the distinct-paragraph
+    count, not the corpus size. ``count(distinct id)`` is exact; at
+    10^12 pages swap it for ``approx_count_distinct`` if a bounded
+    error is acceptable."""
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(lines_expr(text_col)).alias("para"),
+    )
+    return (
+        paras.groupBy(F.md5(F.col("para")).alias("para_hash"))
+        .agg(
+            F.min("para").alias("paragraph"),
+            F.countDistinct("_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

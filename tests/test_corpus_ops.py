@@ -288,3 +288,100 @@ def test_shingles_expr_matches_python_reference(spark):
            df.select("i", dedup.shingles_expr("t").alias("s")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == py_shingles(t), (i, repr(t), got[i], py_shingles(t))
+
+
+def test_repetition_cols_known_fractions(spark):
+    """Hand-checked line-repetition signals: fractions, trailing-space
+    robustness (line identity survives spaces around newlines), and
+    the empty/no-newline degenerate cases."""
+    from ai_bangladesh_address_parser_spark.operators.text_analysis import (
+        repetition_cols,
+    )
+
+    rows = [
+        # 4 lines, "dup me" repeats once: dup_line_frac = 1/4;
+        # chars: 6+10+6+10 = 32 total, the repeated "dup me" (6) dup'd
+        (0, "dup me\nunique one\ndup me \nunique two"),
+        (1, "single line only"),           # 1 line, no newline -> 0.0
+        (2, ""),                           # empty -> 0 lines, 0.0
+        (3, "a\na\na\na"),                 # all same: 3/4 dup, 3/4 chars
+        (4, "  padded \n padded\nother"),  # trim: 'padded' == 'padded'
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cols = repetition_cols("text")
+    got = {r.doc_id: r for r in df.select(
+        "doc_id", cols["n_lines"].alias("n"),
+        cols["dup_line_frac"].alias("f"),
+        cols["dup_line_char_frac"].alias("cf")).collect()}
+    assert (got[0].n, got[0].f, got[0].cf) == (4, 0.25, round(6 / 32, 6))
+    assert (got[1].n, got[1].f, got[1].cf) == (1, 0.0, 0.0)
+    assert (got[2].n, got[2].f, got[2].cf) == (0, 0.0, 0.0)
+    assert (got[3].n, got[3].f, got[3].cf) == (4, 0.75, 0.75)
+    assert (got[4].n, got[4].f) == (3, round(1 / 3, 6))
+
+
+def test_top_ngram_matches_brute_force(spark):
+    """top_ngram == a Python brute-force count (same tokenization,
+    same highest-count / lexicographically-greatest tie-break) on a
+    mixed corpus; <n-token docs are absent."""
+    import re
+    from collections import Counter
+
+    from ai_bangladesh_address_parser_spark.operators.text_analysis import top_ngram
+
+    texts = {
+        0: "spark spark spark spark",            # 'spark spark' x3
+        1: "a b a b a b c",                       # 'a b' beats 'b a'
+        2: "tie one tie two tie one tie two",     # real tie-break case
+        3: "solo",                                # 1 token -> absent
+        4: "",                                    # 0 tokens -> absent
+        5: "ঢাকা শহর ঢাকা শহর ভাল",               # bangla
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    got = {r.doc_id: r for r in top_ngram(df, "doc_id", "text", n=2).collect()}
+    assert set(got) == {0, 1, 2, 5}
+
+    for did in sorted(got):
+        toks = [w for w in re.split(r"[^a-z0-9ঀ-৿]+", texts[did].lower()) if w]
+        counts = Counter(" ".join(toks[i:i + 2]) for i in range(len(toks) - 1))
+        best = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
+        r = got[did]
+        assert (r.top_gram, r.gram_count) == (best[0], best[1]), (did, r)
+        tok_chars = sum(len(t) for t in toks)
+        expect_frac = round(best[1] * len(best[0].replace(" ", "")) / tok_chars, 6)
+        assert r.top_gram_char_frac == expect_frac, (did, r)
+
+
+def test_repeated_paragraphs_cross_corpus(spark):
+    """Boilerplate lines shared across docs are found with exact doc /
+    occurrence counts; within-doc-only repeats respect min_docs."""
+    from ai_bangladesh_address_parser_spark.operators.text_analysis import (
+        repeated_paragraphs,
+    )
+
+    rows = [
+        (0, "real content zero\nsubscribe now\nmore zero"),
+        (1, "real content one\nsubscribe now"),
+        (2, "subscribe now\nreal content two\nsubscribe now"),
+        (3, "only here\nonly here"),  # repeats within ONE doc only
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.paragraph: r for r in repeated_paragraphs(df, min_docs=2).collect()}
+    assert set(got) == {"subscribe now"}
+    assert got["subscribe now"].n_docs == 3
+    assert got["subscribe now"].n_occurrences == 4
+    # min_docs=1 surfaces the within-doc repeat too
+    got1 = {r.paragraph: (r.n_docs, r.n_occurrences)
+            for r in repeated_paragraphs(df, min_docs=1).collect()}
+    assert got1["only here"] == (1, 2)
+
+
+def test_ngrams_expr_counts_positions(spark):
+    """ngrams_expr is positional (non-distinct) and empty below k —
+    the counting contract top_ngram depends on."""
+    df = spark.createDataFrame(
+        [(0, "x y x y"), (1, "x"), (2, "")], "doc_id bigint, text string")
+    got = {r.doc_id: list(r.g) for r in df.select(
+        "doc_id", dedup.ngrams_expr("text", 2).alias("g")).collect()}
+    assert got[0] == ["x y", "y x", "x y"]
+    assert got[1] == [] and got[2] == []
