@@ -947,6 +947,25 @@ def q_x6_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x13_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the trained-quantizer scale
+    path. For oracle portability this query uses the deterministic
+    hash-derived centroid table (8 unit centroids, literal on both
+    engines); the k-means-trained path is pytest-verified for recall
+    (tests/test_corpus_ops.py)."""
+    from ai_bangladesh_address_parser_spark.operators.similarity import (
+        hash_centroids,
+        ivf_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    cents = hash_centroids(8, 64)
+    return ivf_topk(e, q, cents, k=3, nprobe=3).select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def q_t10_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T10 spaCy-NER stage plumbing (mapInPandas, per-partition model
     residency) with the deterministic heuristic backend — the
@@ -1509,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_simhash": q_d4_simhash,
         "x1_ann_topk": q_x1_ann_topk,
         "x6_ann_lsh": q_x6_ann_lsh,
+        "x13_ann_ivf": q_x13_ann_ivf,
         "x7_embedding_neardup": q_x7_embedding_neardup,
         "t10_ner": q_t10_ner,
         "t13_ner_learned": q_t13_ner_learned,
@@ -1624,6 +1644,14 @@ def oracle_sql() -> dict[str, str]:
     signs4_values = ("(VALUES " + ", ".join(
         f"({p}, {i + 1}, {plane_sign(p, i)})"
         for p in range(24) for i in range(64)) + ") AS t(p, i, s)")
+    # x13's deterministic unit centroids (8 cells × dim 64) — repr()
+    # round-trips the exact float64 the Spark literals embed
+    from ai_bangladesh_address_parser_spark.operators.similarity import hash_centroids
+
+    cent_values = ("(VALUES " + ", ".join(
+        f"({c}, {i + 1}, {w!r})"
+        for c, row in enumerate(hash_centroids(8, 64))
+        for i, w in enumerate(row)) + ") AS t(c, i, w)")
 
     up_values = _values_sql(
         [(n, d, dv, c) for n, d, dv, c in gh.UPAZILAS],
@@ -2551,6 +2579,36 @@ def oracle_sql() -> dict[str, str]:
                   from scored)
             select query_id, neighbor_id, rank from r where rank <= 3
         """.format(signs_values=signs_values),
+        "x13_ann_ivf": """
+            with cents as (select * from {cent_values}),
+            ex as (select vec_id, g.i as i, cast(embedding[g.i] as double) as x
+                   from embeddings
+                   cross join unnest(generate_series(1, len(embedding))) as g(i)),
+            dots as (select e.vec_id, t.c as cell, sum(e.x * t.w) as dot
+                     from ex e join cents t on e.i = t.i
+                     group by e.vec_id, t.c),
+            ranked as (select vec_id, cell,
+                              row_number() over (partition by vec_id
+                                                 order by dot desc, cell desc) as rn
+                       from dots),
+            c as (select a.vec_id as neighbor_id, a.cell, e.embedding as cv
+                  from ranked a join embeddings e on a.vec_id = e.vec_id
+                  where a.rn = 1),
+            probes as (select vec_id as query_id, cell
+                       from ranked where rn <= 3 and vec_id < 10),
+            q as (select p.query_id, p.cell, e.embedding as qv
+                  from probes p join embeddings e on p.query_id = e.vec_id),
+            scored as (select q.query_id, c.neighbor_id,
+                              list_cosine_similarity(cast(q.qv as double[]),
+                                                     cast(c.cv as double[])) as cosine
+                       from q join c on q.cell = c.cell
+                       where c.neighbor_id != q.query_id),
+            r as (select query_id, neighbor_id,
+                         row_number() over (partition by query_id
+                                            order by cosine desc, neighbor_id) as rank
+                  from scored)
+            select query_id, neighbor_id, rank from r where rank <= 3
+        """.format(cent_values=cent_values),
         "x7_embedding_neardup": f"""
             with signs as (select * from {{signs4_values}}),
             ex as (select vec_id, g.i as i, cast(embedding[g.i] as double) as x

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (`array<float>`).
 
-Two paths, per the scale playbook:
+Three paths, per the scale playbook:
 
   * **Brute-force cosine top-k** — the exactness baseline: broadcast
     the (small) query set, one narrow pass over the corpus computing
@@ -13,6 +13,12 @@ Two paths, per the scale playbook:
     bucket (+ optional multi-probe neighbors at Hamming distance 1),
     scoring only within buckets. Sub-linear candidate volume; recall
     tested against the brute-force baseline in pytest.
+  * **IVF top-k** — the trained-quantizer 100 TB path: a spherical
+    k-means coarse quantizer (bounded driver-side training on a
+    deterministic sample; assignment fully distributed) partitions
+    the corpus into inverted lists; queries probe their ``nprobe``
+    best cells. Candidate volume ≈ nprobe/n_cells per query with
+    data-balanced lists where hyperplane buckets skew.
 
 Embedding dims: the bucket fast path embeds the plane signs as literal
 arrays, which requires ONE dim per call — passed explicitly or inferred
@@ -180,6 +186,142 @@ def lsh_topk(
         c.join(q.hint("shuffle_hash"), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_expr(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def centroid_weight(c: int, i: int) -> float:
+    """Deterministic pseudo-random centroid component in [-1, 1] from
+    md5 of ``c|i`` — the data-independent twin of :func:`plane_sign`,
+    used where an engine-portable literal quantizer is needed (driver
+    queries with SQL oracles). Real deployments train with
+    :func:`train_centroids` instead."""
+    h = int(hashlib.md5(f"c|{c}|{i}".encode()).hexdigest()[:14], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def hash_centroids(n_centroids: int, dim: int) -> list[list[float]]:
+    """Unit-normalized deterministic centroids (no data, no RNG)."""
+    out = []
+    for c in range(n_centroids):
+        v = [centroid_weight(c, i) for i in range(dim)]
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        out.append([x / n for x in v])
+    return out
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 10,
+    sample_n: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer, trained on a deterministic
+    driver-side sample — the standard IVF recipe: training cost is
+    bounded by ``sample_n`` regardless of corpus size (at 100 TB,
+    assignment is the distributed pass; training a 2^14-cell quantizer
+    on a 10^5-row sample is driver work). Determinism: the sample is
+    the ``sample_n`` smallest ids (one distributed partial top-k, no
+    RNG), init is ``n_centroids`` evenly spaced rows of that sorted
+    sample, and Lloyd iterations run in numpy with fixed order — the
+    same corpus always yields bit-identical centroids, so downstream
+    plans (and resumed runs) agree. Empty cells re-seed from the
+    hash-centroid table. Returns unit-normalized centroids (cosine
+    assignment == dot with unit centroids)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.asarray([list(r._v) for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    idx = np.linspace(0, len(x) - 1, n_centroids).astype(int)
+    cent = x[idx].copy()
+    fallback = np.asarray(hash_centroids(n_centroids, dim))
+    for _ in range(n_iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(n_centroids):
+            m = x[assign == c]
+            cent[c] = m.mean(axis=0) if len(m) else fallback[c]
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent.tolist()
+
+
+def _cell_scores_expr(vec_col: str, centroids: list[list[float]]) -> Column:
+    """array<struct<dot, cell>>: the query/corpus row's dot product
+    with every (unit) centroid, as literal-array zip_with folds — the
+    same literal-embedding trick as the LSH plane signs; no Python,
+    no stored model table, plan-embedded quantizer."""
+    v = F.col(vec_col).cast("array<double>")
+    return F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(float(w)) for w in c]),
+                           lambda x, w: x * w),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias("dot"),
+            F.lit(ci).alias("cell"),
+        )
+        for ci, c in enumerate(centroids)
+    ])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the third ANN path next
+    to :func:`brute_force_topk` (exact) and :func:`lsh_topk` (hash
+    buckets). Corpus rows are assigned to their max-cosine coarse cell
+    (one narrow pass; ``argmax`` = ``array_max`` over the literal
+    centroid dots — deterministic tie-break to the larger cell id);
+    each query probes its ``nprobe`` best cells and scores only those
+    inverted lists. Candidate volume ≈ nprobe/n_centroids of the
+    corpus per query vs LSH's bucket-occupancy-dependent volume —
+    IVF's advantage is that trained cells track the data distribution
+    (see :func:`train_centroids`), so list sizes stay balanced where
+    hyperplane buckets skew. Same output schema and ranking contract
+    as the other two paths; recall is measured against brute force in
+    pytest."""
+    dim = len(centroids[0])
+    scores = _cell_scores_expr(vec_col, centroids)
+    cell = _dim_checked(F.array_max(scores)["cell"], vec_col, dim).alias("cell")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), cell
+    )
+    # top-nprobe cells: lexicographic array_sort on (dot, cell) then
+    # take the tail — same (dot desc, cell desc) order the oracle ranks
+    probes = F.slice(
+        F.array_sort(scores), len(centroids) - nprobe + 1, nprobe
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            _dim_checked(F.transform(probes, lambda s: s["cell"]), vec_col, dim)
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(q.hint("shuffle_hash"), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr(F.col("_qv").cast("array<double>"),
+                                          F.col("_cv").cast("array<double>")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

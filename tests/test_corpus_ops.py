@@ -385,3 +385,43 @@ def test_ngrams_expr_counts_positions(spark):
         "doc_id", dedup.ngrams_expr("text", 2).alias("g")).collect()}
     assert got[0] == ["x y", "y x", "x y"]
     assert got[1] == [] and got[2] == []
+
+
+def test_ivf_trained_recall_vs_brute_force(spark, sf_dir):
+    """IVF with a k-means-trained quantizer: recall@10 vs the exact
+    baseline on the embeddings table must beat the data-independent
+    hash-centroid quantizer at equal (n_cells, nprobe) budget — the
+    training is what makes the inverted lists track the data — and
+    clear an absolute floor. Also pins trainer determinism (two
+    trainings bit-equal)."""
+    import os
+
+    from ai_bangladesh_address_parser_spark.operators.similarity import (
+        brute_force_topk,
+        hash_centroids,
+        ivf_topk,
+        train_centroids,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
+    q = e.filter(F.col("vec_id") < 20)
+
+    truth = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(e, q, k=10).collect()}
+
+    trained = train_centroids(e, n_centroids=8, n_iters=10, sample_n=256)
+    assert trained == train_centroids(e, n_centroids=8, n_iters=10, sample_n=256)
+
+    def recall(cents):
+        got = {(r.query_id, r.neighbor_id)
+               for r in ivf_topk(e, q, cents, k=10, nprobe=2).collect()}
+        return len(got & truth) / len(truth)
+
+    r_trained = recall(trained)
+    r_hash = recall(hash_centroids(8, 64))
+    assert r_trained >= r_hash, (r_trained, r_hash)
+    assert r_trained >= 0.6, r_trained
+    # full probe budget == exact: nprobe = n_cells scores everything
+    r_full = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(e, q, trained, k=10, nprobe=8).collect()}
+    assert r_full == truth
