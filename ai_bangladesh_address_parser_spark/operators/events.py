@@ -206,12 +206,13 @@ def funnel(events: DataFrame, steps=("view", "click", "purchase")) -> DataFrame:
     out = counts[0]
     for c in counts[1:]:
         out = out.unionByName(c)
-    first = F.first("n_users").over(
-        Window.orderBy("step_idx").rowsBetween(Window.unboundedPreceding,
-                                               Window.unboundedFollowing)
-    )
-    return out.withColumn(
-        "pct_of_first", F.round(F.col("n_users") / first, 6)
+    # conversion vs step 1 via a broadcast of the single step-1 row —
+    # not a global window (which would warn about a single-partition
+    # move even though the frame is one row per step by construction)
+    first = F.broadcast(counts[0].select(F.col("n_users").alias("_first")))
+    return out.crossJoin(first).select(
+        "step_idx", "step", "n_users",
+        F.round(F.col("n_users") / F.col("_first"), 6).alias("pct_of_first"),
     )
 
 

@@ -244,11 +244,22 @@ def pr_curve(
     per_bin = binned.groupBy("b").agg(
         F.count(F.lit(1)).alias("n_b"), F.sum("y").alias("tp_b")
     ).localCheckpoint(eager=False)
-    w = Window.orderBy(F.col("b").desc()).rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_bin.select(
-        (F.col("b") / n_bins).alias("threshold"),
-        F.sum("n_b").over(w).alias("pred_pairs"),
-        F.sum("tp_b").over(w).alias("tp"),
+    # cumulative-from-the-top sums via a broadcast range self-join over
+    # the ≤ n_bins-row checkpointed frame (≤ n_bins² tiny comparisons)
+    # instead of an unpartitioned window, which would warn about a
+    # single-partition move on every run even though the frame is
+    # bounded by construction
+    hi = F.broadcast(per_bin.select(
+        F.col("b").alias("_b2"), F.col("n_b").alias("_n2"),
+        F.col("tp_b").alias("_tp2"),
+    ))
+    cum = (
+        per_bin.join(hi, F.col("_b2") >= F.col("b"))
+        .groupBy("b")
+        .agg(F.sum("_n2").alias("pred_pairs"), F.sum("_tp2").alias("tp"))
+        .select(
+            (F.col("b") / n_bins).alias("threshold"), "pred_pairs", "tp"
+        )
     )
     if truth_total is None:
         truth_total = per_bin.agg(F.sum("tp_b")).first()[0] or 0
