@@ -108,7 +108,9 @@ def run_bench(scale: int = 1) -> dict:
     )
     from ai_bangladesh_address_parser_spark.operators.similarity import (
         brute_force_topk,
+        ivf_topk,
         lsh_topk,
+        train_centroids,
     )
     from ai_bangladesh_address_parser_spark.plans.pipeline import LinkagePlan, pairwise_f1
 
@@ -251,6 +253,14 @@ def run_bench(scale: int = 1) -> dict:
     t = time.time()
     lsh_topk(emb, q, k=10).count()
     times["ann_lsh"] = round(time.time() - t, 2)
+
+    # IVF timing includes quantizer training (bounded driver-side
+    # sample) + assignment + nprobe search — the full index-and-query
+    # cost a cold run pays
+    t = time.time()
+    cents = train_centroids(emb, n_centroids=16, n_iters=5, sample_n=1024)
+    ivf_topk(emb, q, cents, k=10, nprobe=4).count()
+    times["ann_ivf"] = round(time.time() - t, 2)
 
     # Warm-session s1, measured AFTER the suite on a fresh plan (the
     # default StageStore is lazy/no-resume, so nothing is reused): the
