@@ -1333,6 +1333,38 @@ def q_x12_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HTML wrapping of the documents corpus, exercising
+    every html_text_expr rule: dropped script/style/head blocks (with
+    tag-like content inside), newline-producing closes, attribute-
+    carrying tags, all six entities, a multi-line comment. Mirrored by
+    ``_HTML_SYNTH_SQL``."""
+    d = _t(spark, sf_dir, "documents")
+    parity = F.col("doc_id") % 2 == 0
+    html_str = F.concat(
+        F.lit('<html><head><title>skip me</title></head><body onload="f()">'),
+        F.lit('<script type="text/javascript">var x = 1 < 2 && "</p>";</script>'),
+        F.lit("<style>.c { color: red }</style>"),
+        F.lit("<h1>Doc &#39;"), F.col("doc_id").cast("string"), F.lit("&#39;</h1>"),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.when(parity, F.lit("<div>Tom &amp; Jerry &lt;3&nbsp;cats</div>"))
+        .otherwise(F.lit('<ul><li>item &quot;one&quot;</li><li>item two</li></ul>')),
+        F.lit("<br><!-- comment\nacross lines -->footer</body></html>"),
+    )
+    return d.select("doc_id", F.encode(html_str, "UTF-8").alias("html"))
+
+
+def q_x14_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/html.py): the raw-WARC ingest
+    path for pages where only ``html:binary`` is populated — one
+    pure-codegen strip chain, line structure preserved for the
+    repetition operators."""
+    from ai_bangladesh_address_parser_spark.functions.html import html_text_expr
+
+    h = _synth_html(spark, sf_dir)
+    return h.select("doc_id", html_text_expr("html").alias("text"))
+
+
 def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic crawl-shaped URLs over documents: 5 docs share an
     article id; variants 0/1 and 2/3 are the same page spelled with
@@ -1529,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_ann_topk": q_x1_ann_topk,
         "x6_ann_lsh": q_x6_ann_lsh,
         "x13_ann_ivf": q_x13_ann_ivf,
+        "x14_html_to_text": q_x14_html_to_text,
         "x7_embedding_neardup": q_x7_embedding_neardup,
         "t10_ner": q_t10_ner,
         "t13_ner_learned": q_t13_ner_learned,
@@ -1580,6 +1613,24 @@ _LINED_SQL = f"""
               then chr(10) || split_part({_LINED_EXPR_SQL}, chr(10), 1)
               else '' end
       as text
+    from documents
+"""
+
+# x14: the same deterministic HTML wrapping as _synth_html. SQL string
+# literals escape the embedded single quote by doubling; the comment's
+# interior newline is chr(10).
+_HTML_SYNTH_SQL = """
+    select doc_id,
+      '<html><head><title>skip me</title></head><body onload="f()">'
+      || '<script type="text/javascript">var x = 1 < 2 && "</p>";</script>'
+      || '<style>.c { color: red }</style>'
+      || '<h1>Doc &#39;' || cast(doc_id as varchar) || '&#39;</h1>'
+      || '<p>' || text || '</p>'
+      || case when doc_id % 2 = 0
+              then '<div>Tom &amp; Jerry &lt;3&nbsp;cats</div>'
+              else '<ul><li>item &quot;one&quot;</li><li>item two</li></ul>' end
+      || '<br><!-- comment' || chr(10) || 'across lines -->footer</body></html>'
+      as s
     from documents
 """
 
@@ -2760,6 +2811,32 @@ def oracle_sql() -> dict[str, str]:
             from l
             group by md5(para)
             having count(distinct doc_id) >= 2
+        """,
+        "x14_html_to_text": f"""
+            with h as ({_HTML_SYNTH_SQL}),
+            t as (select doc_id,
+                     replace(replace(replace(replace(replace(replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(
+                                 regexp_replace(s,
+                                   '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                                 '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+                               '(?is)<head\\b[^>]*>.*?</head\\s*>', ' ', 'g'),
+                             '(?s)<!--.*?-->', ' ', 'g'),
+                           '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)\\b[^>]*>', chr(10), 'g'),
+                         '<[^>]+>', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') as s1
+                  from h)
+            select doc_id,
+                   regexp_replace(regexp_replace(
+                        regexp_replace(s1, '[ \\t\\r]+', ' ', 'g'),
+                        ' ?\\n[ \\n]*', chr(10), 'g'),
+                        '^\\s+|\\s+$', '', 'g') as text
+            from t
         """,
         "x8_url_canonical": f"""
             with u as ({_URL_SYNTH_SQL})
