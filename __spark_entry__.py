@@ -1333,6 +1333,26 @@ def q_x12_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x15_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document fraction of distinct
+    3-token shingles appearing in a benchmark set (every 17th doc
+    plays the benchmark — those docs must report contamination 1.0,
+    their near-dup replicas partial overlap)."""
+    from ai_bangladesh_address_parser_spark.operators.text_analysis import (
+        contamination,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    out = contamination(d, bench, k=3)
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        "contamination_frac",
+    )
+
+
 def _synth_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HTML wrapping of the documents corpus, exercising
     every html_text_expr rule: dropped script/style/head blocks (with
@@ -1562,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_ann_lsh": q_x6_ann_lsh,
         "x13_ann_ivf": q_x13_ann_ivf,
         "x14_html_to_text": q_x14_html_to_text,
+        "x15_contamination": q_x15_contamination,
         "x7_embedding_neardup": q_x7_embedding_neardup,
         "t10_ner": q_t10_ner,
         "t13_ner_learned": q_t13_ner_learned,
@@ -2811,6 +2832,31 @@ def oracle_sql() -> dict[str, str]:
             from l
             group by md5(para)
             having count(distinct doc_id) >= 2
+        """,
+        "x15_contamination": f"""
+            with m as (
+              select doc_id,
+                     case when len({toks}) >= 3
+                          then list_distinct(list_transform(
+                                 range(len({toks}) - 2),
+                                 i -> {toks}[i + 1] || ' ' || {toks}[i + 2]
+                                      || ' ' || {toks}[i + 3]))
+                          else [array_to_string({toks}, ' ')] end as shs
+              from documents),
+            bf as (select distinct unnest(shs) as sh from m
+                   where doc_id % 17 = 0),
+            bfn as (select sh from bf where sh != ''),
+            d as (select doc_id, unnest(shs) as sh from m),
+            df as (select doc_id, sh from d where sh != ''),
+            j as (select df.doc_id,
+                         case when bfn.sh is not null then 1 else 0 end as hit
+                  from df left join bfn on df.sh = bfn.sh)
+            select doc_id,
+                   count(*) as n_shingles,
+                   sum(hit) as n_contaminated,
+                   round(cast(sum(hit) as double) / count(*), 6)
+                       as contamination_frac
+            from j group by doc_id
         """,
         "x14_html_to_text": f"""
             with h as ({_HTML_SYNTH_SQL}),

@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.script import _ASCII_ALPHA, _BANGLA_CLASS, _count_matches
-from .dedup import ngrams_expr, tokens_expr
+from .dedup import ngrams_expr, shingles_expr, tokens_expr
 
 # Small, fixed stopword lists (public, high-frequency function words).
 EN_STOPWORDS = [
@@ -206,6 +206,52 @@ def top_ngram(
         F.round(
             F.col("m.cnt") * gram_chars / F.col("m._tok_chars").cast("double"), 6
         ).alias("top_gram_char_frac"),
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 3,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction
+    of its distinct ``k``-token shingles that appear anywhere in the
+    benchmark set — the standard n-gram-overlap contamination check a
+    training-data pipeline runs before a corpus ships.
+
+    → (id, n_shingles, n_contaminated, contamination_frac). Documents
+    with no tokens are absent (no shingle exists to test).
+
+    Plan: benchmark shingles collapse to one distinct set (partial-agg
+    explode, O(|benchmark shingles|)); doc shingles explode once; the
+    membership test is a left join on the shingle string — broadcast
+    by default (benchmark sets are MBs against a 100 TB corpus; pass
+    ``broadcast_benchmark=False`` to shuffle-join a giant holdout).
+    One count-aggregate back to one row per document."""
+    bench = (
+        benchmark.select(F.explode(shingles_expr(bench_text_col, k)).alias("sh"))
+        .filter(F.col("sh") != "")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, k)).alias("sh")
+    ).filter(F.col("sh") != "")
+    joined = doc_sh.join(bench, "sh", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("contamination_frac"),
     )
 
 

@@ -425,3 +425,34 @@ def test_ivf_trained_recall_vs_brute_force(spark, sf_dir):
     r_full = {(r.query_id, r.neighbor_id)
               for r in ivf_topk(e, q, trained, k=10, nprobe=8).collect()}
     assert r_full == truth
+
+
+def test_contamination_known_overlaps(spark):
+    """Hand-checked contamination fractions: benchmark members are
+    fully contaminated, partial overlaps count matching shingles only,
+    disjoint docs report 0.0, and the broadcast toggle is value-
+    neutral."""
+    from ai_bangladesh_address_parser_spark.operators.text_analysis import (
+        contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),      # benchmark member
+            (1, "alpha beta gamma zeta eta"),           # shares 1 of 3 shingles
+            (2, "one two three four five"),             # disjoint
+            (3, "alpha beta gamma delta epsilon"),      # exact copy of bench
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 0)
+    got = {r.doc_id: r for r in contamination(docs, bench, k=3).collect()}
+    assert (got[0].n_shingles, got[0].contamination_frac) == (3, 1.0)
+    assert (got[1].n_shingles, got[1].n_contaminated) == (3, 1)
+    assert got[1].contamination_frac == round(1 / 3, 6)
+    assert got[2].contamination_frac == 0.0
+    assert got[3].contamination_frac == 1.0
+    got2 = {r.doc_id: (r.n_shingles, r.n_contaminated)
+            for r in contamination(docs, bench, k=3,
+                                   broadcast_benchmark=False).collect()}
+    assert got2 == {d: (r.n_shingles, r.n_contaminated) for d, r in got.items()}
