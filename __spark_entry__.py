@@ -1333,6 +1333,39 @@ def q_x12_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x16_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails / IPv4 / BD mobile numbers)
+    over a deterministically PII-decorated corpus: every 3rd doc gains
+    an email, every 4th a phone, every 5th an IP — so the query
+    exercises all categories, overlaps, and the zero case."""
+    from ai_bangladesh_address_parser_spark.operators.text_analysis import pii_cols
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+        )).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.concat(
+            F.lit(" call 01"), (did % 7 + 3).cast("string"),
+            F.lpad((did % 100000000).cast("string"), 8, "0"),
+        )).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" from 10.0."), (did % 256).cast("string"),
+            F.lit("."), F.expr("doc_id div 7 % 256").cast("string"),
+        )).otherwise(F.lit("")),
+    )
+    cols = pii_cols("text")
+    return d.select("doc_id", text.alias("text")).select(
+        "doc_id",
+        cols["n_emails"].cast("bigint").alias("n_emails"),
+        cols["n_ips"].cast("bigint").alias("n_ips"),
+        cols["n_phones"].cast("bigint").alias("n_phones"),
+        cols["redacted"].alias("redacted"),
+    )
+
+
 def q_x15_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per-document fraction of distinct
     3-token shingles appearing in a benchmark set (every 17th doc
@@ -1583,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_ann_ivf": q_x13_ann_ivf,
         "x14_html_to_text": q_x14_html_to_text,
         "x15_contamination": q_x15_contamination,
+        "x16_pii_redact": q_x16_pii_redact,
         "x7_embedding_neardup": q_x7_embedding_neardup,
         "t10_ner": q_t10_ner,
         "t13_ner_learned": q_t13_ner_learned,
@@ -2832,6 +2866,43 @@ def oracle_sql() -> dict[str, str]:
             from l
             group by md5(para)
             having count(distinct doc_id) >= 2
+        """,
+        "x16_pii_redact": """
+            with d as (
+              select doc_id,
+                text
+                || case when doc_id % 3 = 0
+                        then ' contact user' || cast(doc_id as varchar)
+                             || '@example.com' else '' end
+                || case when doc_id % 4 = 0
+                        then ' call 01' || cast(doc_id % 7 + 3 as varchar)
+                             || lpad(cast(doc_id % 100000000 as varchar), 8, '0')
+                        else '' end
+                || case when doc_id % 5 = 0
+                        then ' from 10.0.' || cast(doc_id % 256 as varchar)
+                             || '.' || cast(doc_id // 7 % 256 as varchar)
+                        else '' end
+                as text
+              from documents),
+            s1 as (select doc_id,
+                          len(regexp_extract_all(text,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as n_emails,
+                          regexp_replace(text,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g') as t1
+                   from d),
+            s2 as (select doc_id, n_emails,
+                          len(regexp_extract_all(t1,
+                              '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) as n_ips,
+                          regexp_replace(t1,
+                              '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') as t2
+                   from s1)
+            select doc_id, n_emails, n_ips,
+                   len(regexp_extract_all(t2,
+                       '(?:\\+?880|0)1[3-9]\\d{8}')) as n_phones,
+                   regexp_replace(t2,
+                       '(?:\\+?880|0)1[3-9]\\d{8}', '<PHONE>', 'g') as redacted
+            from s2
         """,
         "x15_contamination": f"""
             with m as (

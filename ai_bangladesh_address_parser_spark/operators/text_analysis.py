@@ -209,6 +209,36 @@ def top_ngram(
     )
 
 
+# --- PII detection / redaction -------------------------------------------
+
+# RE2-compatible (no lookaround/backrefs) so the DuckDB oracle mirrors
+# the patterns verbatim. BD mobile: optional +880/880/0 prefix then
+# 1[3-9] and 8 digits — precise enough to leave postal codes and house
+# numbers alone (no generic "long digit run" heuristic).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"(?:\+?880|0)1[3-9]\d{8}", "<PHONE>"),
+)
+
+
+def pii_cols(text_col: str = "text") -> dict[str, Column]:
+    """Per-document PII signals + redacted text, pure codegen. Each
+    category is counted on the text with the PRIOR categories already
+    redacted (emails first, so an address-bearing local part never
+    also counts as a phone), then replaced — one progressive chain,
+    mirrored verbatim by the oracle. The redaction pass a training
+    corpus runs before tokenization; counts drive the drop-vs-redact
+    policy."""
+    out: dict[str, Column] = {}
+    red = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        out[f"n_{name}s"] = F.regexp_count(red, F.lit(pat))
+        red = F.regexp_replace(red, pat, token)
+    out["redacted"] = red
+    return out
+
+
 def contamination(
     docs: DataFrame,
     benchmark: DataFrame,

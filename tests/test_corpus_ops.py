@@ -456,3 +456,34 @@ def test_contamination_known_overlaps(spark):
             for r in contamination(docs, bench, k=3,
                                    broadcast_benchmark=False).collect()}
     assert got2 == {d: (r.n_shingles, r.n_contaminated) for d, r in got.items()}
+
+
+def test_pii_redaction_rules(spark):
+    """Category-by-category PII checks: counts on the progressively
+    redacted chain (an email's digits never double-count as a phone),
+    postal codes and house numbers untouched, all three tokens
+    substituted."""
+    from ai_bangladesh_address_parser_spark.operators.text_analysis import pii_cols
+
+    rows = [
+        (0, "reach me at jane.doe+x@mail.example.org or 01712345678"),
+        (1, "server 192.168.0.1 and backup 10.0.255.254"),
+        (2, "a01812345678@example.com has a phone-shaped local part"),
+        (3, "House 11, Road 4, Dhanmondi, Dhaka 1209"),  # no PII
+        (4, "+8801912345678 and 8801512345678 and 01312345678"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cols = pii_cols("text")
+    got = {r.doc_id: r for r in df.select(
+        "doc_id", cols["n_emails"].alias("e"), cols["n_ips"].alias("i"),
+        cols["n_phones"].alias("p"), cols["redacted"].alias("red")).collect()}
+    assert (got[0].e, got[0].p) == (1, 1)
+    assert got[0].red == "reach me at <EMAIL> or <PHONE>"
+    assert got[1].i == 2 and got[1].red == "server <IP> and backup <IP>"
+    # the phone-shaped digits live INSIDE the email: counted once as
+    # email, zero times as phone
+    assert (got[2].e, got[2].p) == (1, 0)
+    assert got[2].red.startswith("<EMAIL> has")
+    assert (got[3].e, got[3].i, got[3].p) == (0, 0, 0)
+    assert got[3].red == rows[3][1]
+    assert got[4].p == 3 and got[4].red == "<PHONE> and <PHONE> and <PHONE>"
