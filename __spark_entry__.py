@@ -1285,8 +1285,11 @@ def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_x10_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style line-repetition signals per document (duplicate
-    line fraction + duplicate line character fraction) as pure codegen
-    expressions over a synthetic lined corpus."""
+    line count + duplicate line character mass) as pure codegen
+    expressions over a synthetic lined corpus. The driver projection
+    is integer-only — the library also exposes the derived fractions,
+    but rounded doubles render differently across engines (r04 ADVICE)
+    and the integers determine them exactly."""
     from ai_bangladesh_address_parser_spark.operators.text_analysis import repetition_cols
 
     d = _lined_docs(spark, sf_dir)
@@ -1294,8 +1297,9 @@ def q_x10_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         cols["n_lines"].cast("bigint").alias("n_lines"),
-        cols["dup_line_frac"].alias("dup_line_frac"),
-        cols["dup_line_char_frac"].alias("dup_line_char_frac"),
+        cols["n_dup_lines"].cast("bigint").alias("n_dup_lines"),
+        cols["n_line_chars"].cast("bigint").alias("n_line_chars"),
+        cols["n_dup_line_chars"].cast("bigint").alias("n_dup_line_chars"),
     )
 
 
@@ -1307,11 +1311,14 @@ def q_x11_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     out = top_ngram(d, "doc_id", "text", n=2)
+    # integer-only hash surface: (gram_count, top_gram, tok_chars)
+    # determine top_gram_char_frac exactly (r04 ADVICE: rounded doubles
+    # are hash-fragile across engines)
     return out.select(
         "doc_id",
         "top_gram",
         F.col("gram_count").cast("bigint").alias("gram_count"),
-        "top_gram_char_frac",
+        F.col("tok_chars").cast("bigint").alias("tok_chars"),
     )
 
 
@@ -1378,11 +1385,15 @@ def q_x15_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 17 == 0)
     out = contamination(d, bench, k=3)
+    # r04 driver red row root cause: contamination_frac is
+    # round(int/int as double, 6) on both engines, but their decimal
+    # renderings of boundary doubles can differ, breaking the value
+    # hash while rows/schema match. The integer pair determines the
+    # frac exactly, so the driver-hashed projection is integer-only.
     return out.select(
         "doc_id",
         F.col("n_shingles").cast("bigint").alias("n_shingles"),
         F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
-        "contamination_frac",
     )
 
 
@@ -1574,74 +1585,92 @@ def q_s13_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-facing query registry.
+
+    ORDERING IS PART OF THE CONTRACT (r04 verdict): the driver's
+    correctness run covers only the FIRST 50 entries, so the first 50
+    are exactly the 50 DuckDB-oracled queries whose driver greenness
+    this round claims — including x2–x5, x8–x12 and e1–e6, which fell
+    past the window in r04. The tail (positions 51–67) holds the 6
+    rows-only queries (no oracle exists: streaming / learned NER /
+    incremental) plus 11 long-stable oracled queries that were
+    driver-green in CORRECTNESS_r04.json AND are each also covered by
+    pytest and by in-window sibling queries (t11/t12 formatting, j7
+    suggest, j8 enrich composition, a3/a4 stats, a6 vocab, p3
+    validate, p5/p9/p10 scoring variants). The window mapping is
+    documented in BENCH.md."""
     return {
+        # --- positions 1-50: the driver's oracle-checked window -----
         "s1_scan_pushdown": q_s1_scan_pushdown,
         "t1_script_detect": q_t1_script_detect,
         "t2_normalize": q_t2_normalize,
         "t3_regex_extract": q_t3_regex_extract,
         "t7_district_vocab": q_t7_district_vocab,
-        "t11_format": q_t11_format,
-        "t12_country": q_t12_country,
+        "t10_ner": q_t10_ner,
         "p1_score_pairs": q_p1_score_pairs,
         "p2_candidate_pairs": q_p2_candidate_pairs,
-        "p7_blocking_recall": q_p7_blocking_recall,
-        "p8_bcubed": q_p8_bcubed,
-        "p9_pr_curve": q_p9_pr_curve,
-        "p10_compare_detail": q_p10_compare_detail,
-        "p5_jaro_winkler": q_p5_jaro_winkler,
-        "j3_consistency": q_j3_consistency,
-        "j4_predict_postal": q_j4_predict_postal,
-        "j2_position_area": q_j2_position_area,
-        "j9_fuzzy_area": q_j9_fuzzy_area,
-        "j5_geo_proactive": q_j5_geo_proactive,
-        "j6_full_hierarchy": q_j6_full_hierarchy,
-        "j8_enrich": q_j8_enrich,
-        "p3_validate": q_p3_validate,
         "p4_connected_components": q_p4_connected_components,
         "p6_entity_profiles": q_p6_entity_profiles,
+        "p7_blocking_recall": q_p7_blocking_recall,
+        "p8_bcubed": q_p8_bcubed,
+        "j1_gazetteer_enrich": q_j1_gazetteer_enrich,
+        "j2_position_area": q_j2_position_area,
+        "j3_consistency": q_j3_consistency,
+        "j4_predict_postal": q_j4_predict_postal,
+        "j5_geo_proactive": q_j5_geo_proactive,
+        "j6_full_hierarchy": q_j6_full_hierarchy,
+        "j9_fuzzy_area": q_j9_fuzzy_area,
         "a1_resolve_conflict": q_a1_resolve_conflict,
         "a2_overall_confidence": q_a2_overall_confidence,
-        "a3_batch_stats": q_a3_batch_stats,
-        "a4_confidence_histogram": q_a4_confidence_histogram,
         "a5_gazetteer_build": q_a5_gazetteer_build,
-        "a6_area_vocab": q_a6_area_vocab,
-        "j1_gazetteer_enrich": q_j1_gazetteer_enrich,
-        "j7_suggest": q_j7_suggest,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_ngram_jaccard": q_d2_ngram_jaccard,
         "d3_minhash_lsh": q_d3_minhash_lsh,
         "d4_simhash": q_d4_simhash,
         "x1_ann_topk": q_x1_ann_topk,
-        "x6_ann_lsh": q_x6_ann_lsh,
-        "x13_ann_ivf": q_x13_ann_ivf,
-        "x14_html_to_text": q_x14_html_to_text,
-        "x15_contamination": q_x15_contamination,
-        "x16_pii_redact": q_x16_pii_redact,
-        "x7_embedding_neardup": q_x7_embedding_neardup,
-        "t10_ner": q_t10_ner,
-        "t13_ner_learned": q_t13_ner_learned,
-        "m1_media_features": q_m1_media_features,
-        "m2_frame_sample": q_m2_frame_sample,
-        "s9_stream_extract": q_s9_stream_extract,
-        "s10_stateful_dedup": q_s10_stateful_dedup,
-        "s11_incremental_link": q_s11_incremental_link,
-        "s12_stream_link": q_s12_stream_link,
         "x2_langid": q_x2_langid,
         "x3_quality": q_x3_quality,
         "x4_token_count": q_x4_token_count,
         "x5_fingerprint": q_x5_fingerprint,
+        "x6_ann_lsh": q_x6_ann_lsh,
+        "x7_embedding_neardup": q_x7_embedding_neardup,
         "x8_url_canonical": q_x8_url_canonical,
         "x9_host_stats": q_x9_host_stats,
         "x10_repetition": q_x10_repetition,
         "x11_top_ngram": q_x11_top_ngram,
         "x12_paragraph_dedup": q_x12_paragraph_dedup,
+        "x13_ann_ivf": q_x13_ann_ivf,
+        "x14_html_to_text": q_x14_html_to_text,
+        "x15_contamination": q_x15_contamination,
+        "x16_pii_redact": q_x16_pii_redact,
         "e1_event_window": q_e1_event_window,
         "e2_sessionize": q_e2_sessionize,
         "e3_quantiles": q_e3_quantiles,
         "e4_top_users": q_e4_top_users,
         "e5_latest_per_key": q_e5_latest_per_key,
         "e6_funnel": q_e6_funnel,
+        "m1_media_features": q_m1_media_features,
+        "m2_frame_sample": q_m2_frame_sample,
+        # --- positions 51-67: rows-only (no oracle expressible) + ---
+        # --- oracled queries driver-green in r04 with in-window ------
+        # --- siblings and pytest coverage ---------------------------
+        "t13_ner_learned": q_t13_ner_learned,
+        "s9_stream_extract": q_s9_stream_extract,
+        "s10_stateful_dedup": q_s10_stateful_dedup,
+        "s11_incremental_link": q_s11_incremental_link,
+        "s12_stream_link": q_s12_stream_link,
         "s13_stream_events": q_s13_stream_events,
+        "t11_format": q_t11_format,
+        "t12_country": q_t12_country,
+        "j7_suggest": q_j7_suggest,
+        "j8_enrich": q_j8_enrich,
+        "a3_batch_stats": q_a3_batch_stats,
+        "a4_confidence_histogram": q_a4_confidence_histogram,
+        "a6_area_vocab": q_a6_area_vocab,
+        "p3_validate": q_p3_validate,
+        "p5_jaro_winkler": q_p5_jaro_winkler,
+        "p9_pr_curve": q_p9_pr_curve,
+        "p10_compare_detail": q_p10_compare_detail,
     }
 
 
@@ -2824,15 +2853,11 @@ def oracle_sql() -> dict[str, str]:
                   from d)
             select doc_id,
                    len(lines) as n_lines,
-                   case when len(lines) > 0
-                        then round(cast(len(lines) - len(list_distinct(lines)) as double)
-                                   / len(lines), 6)
-                        else 0.0 end as dup_line_frac,
-                   case when length(array_to_string(lines, '')) > 0
-                        then round(cast(length(array_to_string(lines, ''))
-                                        - length(array_to_string(list_distinct(lines), '')) as double)
-                                   / length(array_to_string(lines, '')), 6)
-                        else 0.0 end as dup_line_char_frac
+                   len(lines) - len(list_distinct(lines)) as n_dup_lines,
+                   length(array_to_string(lines, '')) as n_line_chars,
+                   length(array_to_string(lines, ''))
+                     - length(array_to_string(list_distinct(lines), ''))
+                     as n_dup_line_chars
             from l
         """,
         "x11_top_ngram": f"""
@@ -2849,8 +2874,7 @@ def oracle_sql() -> dict[str, str]:
                       partition by doc_id order by cnt desc, gram desc) as rn
                   from c)
             select doc_id, gram as top_gram, cnt as gram_count,
-                   round(cast(cnt * length(replace(gram, ' ', '')) as double)
-                         / tok_chars, 6) as top_gram_char_frac
+                   tok_chars
             from r where rn = 1
         """,
         "x12_paragraph_dedup": f"""
@@ -2924,9 +2948,7 @@ def oracle_sql() -> dict[str, str]:
                   from df left join bfn on df.sh = bfn.sh)
             select doc_id,
                    count(*) as n_shingles,
-                   sum(hit) as n_contaminated,
-                   round(cast(sum(hit) as double) / count(*), 6)
-                       as contamination_frac
+                   sum(hit) as n_contaminated
             from j group by doc_id
         """,
         "x14_html_to_text": f"""

@@ -243,12 +243,26 @@ def train_centroids(
         .limit(sample_n)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "train_centroids: corpus sample is empty — nothing to train on "
+            "(check the corpus DataFrame / vec_col)"
+        )
     x = np.asarray([list(r._v) for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     dim = x.shape[1]
-    idx = np.linspace(0, len(x) - 1, n_centroids).astype(int)
-    cent = x[idx].copy()
     fallback = np.asarray(hash_centroids(n_centroids, dim))
+    if len(x) < n_centroids:
+        # fewer sample rows than cells: linspace init would duplicate
+        # rows (degenerate identical centroids). Seed the shortfall
+        # from the deterministic hash-centroid table instead.
+        cent = np.concatenate([x, fallback[len(x):]])
+        cent = cent / np.maximum(
+            np.linalg.norm(cent, axis=1, keepdims=True), 1e-12
+        )
+    else:
+        idx = np.linspace(0, len(x) - 1, n_centroids).astype(int)
+        cent = x[idx].copy()
     for _ in range(n_iters):
         assign = (x @ cent.T).argmax(axis=1)
         for c in range(n_centroids):
@@ -300,6 +314,9 @@ def ivf_topk(
     as the other two paths; recall is measured against brute force in
     pytest."""
     dim = len(centroids[0])
+    # nprobe > n_cells would make the slice start non-positive and
+    # throw at runtime; degrade to a full probe instead
+    nprobe = min(nprobe, len(centroids))
     scores = _cell_scores_expr(vec_col, centroids)
     cell = _dim_checked(F.array_max(scores)["cell"], vec_col, dim).alias("cell")
     c = corpus.select(

@@ -165,6 +165,12 @@ def repetition_cols(text_col: str = "text") -> dict[str, Column]:
         "n_lines": n_lines,
         "dup_line_frac": F.round(dup_frac, 6),
         "dup_line_char_frac": F.round(dup_char_frac, 6),
+        # exact integer counterparts of the two fractions (numerator /
+        # denominator) — hash-stable across engines where a rounded
+        # double's decimal rendering is not
+        "n_dup_lines": n_lines - n_distinct,
+        "n_line_chars": total_chars,
+        "n_dup_line_chars": total_chars - distinct_chars,
     }
 
 
@@ -206,6 +212,10 @@ def top_ngram(
         F.round(
             F.col("m.cnt") * gram_chars / F.col("m._tok_chars").cast("double"), 6
         ).alias("top_gram_char_frac"),
+        # the frac's exact integer denominator (non-space token chars);
+        # (gram_count, top_gram, tok_chars) determine the frac, so
+        # cross-engine hash checks can use integers only
+        F.col("m._tok_chars").alias("tok_chars"),
     )
 
 

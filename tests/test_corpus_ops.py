@@ -425,6 +425,35 @@ def test_ivf_trained_recall_vs_brute_force(spark, sf_dir):
     r_full = {(r.query_id, r.neighbor_id)
               for r in ivf_topk(e, q, trained, k=10, nprobe=8).collect()}
     assert r_full == truth
+    # nprobe > n_cells clamps to a full probe instead of a runtime
+    # slice() error (r04 ADVICE low)
+    r_over = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(e, q, trained, k=10, nprobe=99).collect()}
+    assert r_over == truth
+
+
+def test_train_centroids_degenerate_samples(spark):
+    """Trainer guards (r04 ADVICE low): an empty corpus raises a clear
+    error, and a sample smaller than n_centroids seeds the shortfall
+    from the hash-centroid table instead of duplicating rows."""
+    import pytest as _pytest
+
+    from ai_bangladesh_address_parser_spark.operators.similarity import (
+        train_centroids,
+    )
+
+    schema = "vec_id bigint, embedding array<double>"
+    empty = spark.createDataFrame([], schema)
+    with _pytest.raises(ValueError, match="empty"):
+        train_centroids(empty, n_centroids=4)
+
+    two = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])], schema
+    )
+    cents = train_centroids(two, n_centroids=4, n_iters=2)
+    assert len(cents) == 4
+    # no two centroids identical (the linspace-duplication failure)
+    assert len({tuple(round(x, 9) for x in c) for c in cents}) == 4
 
 
 def test_contamination_known_overlaps(spark):

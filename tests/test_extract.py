@@ -154,9 +154,15 @@ def test_ner_evidence_stage(spark):
     assert got[("n1", "postal_code")] == "1216"
     assert all(r.confidence == 0.85 and r.source == "spacy_ner" for r in ev)
     assert not [r for r in ev if r.mention_id == "n2"]
+    # Negative control, failure mode pinned: with spaCy absent the
+    # spacy branch must raise ModuleNotFoundError loudly ON THE DRIVER
+    # (before any executor work), never silently fall back to the
+    # heuristic backend — even when a model path is supplied.
     import pytest as _pytest
-    with _pytest.raises(Exception):
-        ner_evidence(df, model="spacy")  # spaCy absent → fails on driver
+    with _pytest.raises(ModuleNotFoundError, match="spacy"):
+        ner_evidence(df, model="spacy")
+    with _pytest.raises(ModuleNotFoundError, match="spacy"):
+        ner_evidence(df, model="spacy", model_path="/tmp/some_model")
 
 
 def test_suggest_difflib_parity(spark):
