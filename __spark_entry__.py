@@ -1490,7 +1490,9 @@ def q_x9_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_pages"),
             F.countDistinct("canonical_url").alias("n_canonical"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            # integer char mass, not round(avg,6): int/int rounded
+            # doubles are the x15 hash-fragility class (r04 ADVICE)
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
 
@@ -1550,7 +1552,12 @@ def q_e6_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering between steps."""
     from ai_bangladesh_address_parser_spark.operators.events import funnel
 
-    return funnel(_t(spark, sf_dir, "events"))
+    # integer-only hash surface: pct_of_first = n_users/first is an
+    # int/int rounded double (the x15 hash-fragility class); the
+    # library operator keeps the rate, the driver hash does not
+    return funnel(_t(spark, sf_dir, "events")).select(
+        "step_idx", "step", F.col("n_users").cast("bigint").alias("n_users")
+    )
 
 
 def q_s13_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2992,7 +2999,7 @@ def oracle_sql() -> dict[str, str]:
             select host,
                    count(*) as n_pages,
                    count(distinct canonical_url) as n_canonical,
-                   round(avg(n_chars), 6) as avg_chars
+                   cast(sum(n_chars) as bigint) as sum_chars
             from c
             group by host
         """,
@@ -3104,9 +3111,7 @@ def oracle_sql() -> dict[str, str]:
                 union all
                 select 3, 'purchase', (select count(*) from s3)
             )
-            select step_idx, step, n_users,
-                   round(n_users * 1.0 / first_value(n_users)
-                         over (order by step_idx), 6) as pct_of_first
+            select step_idx, step, cast(n_users as bigint) as n_users
             from c
         """,
     }
